@@ -1,0 +1,99 @@
+"""Synthetic world generation for tests and benchmarks.
+
+The reference repo ships no test data beyond 3 loose images
+(SURVEY.md §4); all correctness tests here run on synthetic scenes with
+exact ground truth: a random 3D landmark field rendered as bright
+square "dots" into ideal pinhole cameras along a known trajectory.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def make_landmarks(rng, n=400, x=6.0, y=4.0, z=(2.0, 8.0)):
+    """Random 3D points in a frustum-ish box in front of the origin."""
+    pts = np.stack(
+        [
+            rng.uniform(-x, x, n),
+            rng.uniform(-y, y, n),
+            rng.uniform(z[0], z[1], n),
+        ],
+        axis=-1,
+    )
+    return pts.astype(np.float64)
+
+
+def project_np(K, T_cw, pts_w):
+    """Project world points with 3x3 K and 4x4 T_cw -> (uv (N,2), z (N,))."""
+    R, t = T_cw[:3, :3], T_cw[:3, 3]
+    pc = pts_w @ R.T + t
+    z = pc[:, 2]
+    uv = np.stack([K[0, 0] * pc[:, 0] / z + K[0, 2], K[1, 1] * pc[:, 1] / z + K[1, 2]], -1)
+    return uv, z
+
+
+def render_dots(
+    uv, z, width=640, height=480, dot=3, intensities=None, background=20.0
+):
+    """Render landmarks as bright (dot x dot) squares; nearer dots win.
+
+    Square corners are strong FAST responses, so the synthetic frames
+    exercise the real detector.
+    """
+    img = np.full((height, width), background, dtype=np.float32)
+    order = np.argsort(-z)  # far first, near painted over
+    if intensities is None:
+        intensities = 120.0 + 120.0 * (np.arange(len(uv)) % 9) / 8.0
+    r = dot // 2
+    for i in order:
+        if z[i] <= 0.1:
+            continue
+        u, v = int(round(uv[i, 0])), int(round(uv[i, 1]))
+        if r + 8 <= u < width - r - 8 and r + 8 <= v < height - r - 8:
+            img[v - r : v + r + 1, u - r : u + r + 1] = intensities[i % len(intensities)] if np.isscalar(intensities) else intensities[i]
+    return img
+
+
+def circular_trajectory(n_frames, radius=0.4, z_step=0.01, yaw_amp=0.05):
+    """World-to-camera poses of a gently arcing forward motion."""
+    from scipy.spatial.transform import Rotation
+
+    poses = []
+    for i in range(n_frames):
+        t = i / max(n_frames - 1, 1)
+        yaw = yaw_amp * np.sin(2 * np.pi * t)
+        c_w = np.array([radius * np.sin(2 * np.pi * t * 0.25), 0.02 * np.sin(4 * t), z_step * i])
+        R_wc = Rotation.from_euler("y", yaw).as_matrix()
+        T_cw = np.eye(4)
+        T_cw[:3, :3] = R_wc.T
+        T_cw[:3, 3] = -R_wc.T @ c_w
+        poses.append(T_cw)
+    return poses
+
+
+class SyntheticRgbdSequence:
+    """Renders (gray, depth) frames of a static dot world with exact GT."""
+
+    def __init__(self, rng, n_frames=30, n_landmarks=500, width=640, height=480,
+                 fx=500.0, fy=500.0, cx=320.0, cy=240.0):
+        self.K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+        self.width, self.height = width, height
+        self.landmarks = make_landmarks(rng, n_landmarks)
+        self.intensities = rng.uniform(100.0, 250.0, n_landmarks)
+        self.poses = circular_trajectory(n_frames)
+
+    def __len__(self):
+        return len(self.poses)
+
+    def frame(self, i):
+        """-> (timestamp, gray (H,W) f32, depth (H,W) f32 meters)."""
+        uv, z = project_np(self.K, self.poses[i], self.landmarks)
+        img = render_dots(uv, z, self.width, self.height, intensities=self.intensities)
+        depth = np.zeros((self.height, self.width), np.float32)
+        r = 1
+        order = np.argsort(-z)
+        for j in order:
+            u, v = int(round(uv[j, 0])), int(round(uv[j, 1]))
+            if 10 <= u < self.width - 10 and 10 <= v < self.height - 10 and z[j] > 0.1:
+                depth[v - r : v + r + 2, u - r : u + r + 2] = z[j]
+        return i / 30.0, img, depth
