@@ -1,0 +1,66 @@
+"""Benchmark harness: per-frame tracking throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md); its anchor is
+ORB-SLAM2-class ~30 fps tracking on a desktop CPU, and the north-star
+target is >= 2x that on one TPU host.  vs_baseline is therefore
+measured_fps / 30.
+
+Runs the full RGB-D tracking step (ORB extraction -> depth association
+-> motion-model matching -> pose-only LM) on synthetic 640x480 frames,
+host loop included — this is the honest per-frame latency a SLAM user
+sees, not a kernels-only number.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    sys.path.insert(0, "tests")
+    from synthetic import SyntheticRgbdSequence
+
+    from ydorbslam_tpu.config import CameraConfig, OrbConfig, SlamConfig
+    from ydorbslam_tpu.slam.tracking import Tracker
+
+    cfg = SlamConfig(
+        camera=CameraConfig(
+            fx=500.0, fy=500.0, cx=320.0, cy=240.0, bf=50.0,
+            width=640, height=480,
+        ),
+        orb=OrbConfig(n_features=1000),
+    )
+    rng = np.random.default_rng(0)
+    n_frames = 40
+    seq = SyntheticRgbdSequence(rng, n_frames=n_frames, n_landmarks=800)
+    frames = [seq.frame(i) for i in range(n_frames)]
+
+    tracker = Tracker(cfg)
+    # Warmup (compile) on the first few frames.
+    for t, g, d in frames[:3]:
+        tracker.track_rgbd(t, g, d)
+    times = []
+    for t, g, d in frames[3:]:
+        t0 = time.perf_counter()
+        tracker.track_rgbd(t, g, d)
+        times.append(time.perf_counter() - t0)
+    median = float(np.median(times))
+    fps = 1.0 / median
+    print(
+        json.dumps(
+            {
+                "metric": "rgbd_tracking_fps",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 30.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

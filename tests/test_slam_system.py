@@ -1,0 +1,121 @@
+"""Full-system test: tracking + local mapping + BA on a synthetic sequence."""
+import numpy as np
+
+from synthetic import SyntheticRgbdSequence
+
+from ydorbslam_tpu.config import (
+    CameraConfig,
+    CapacityConfig,
+    DepthConfig,
+    OrbConfig,
+    SlamConfig,
+    TrackingConfig,
+)
+from ydorbslam_tpu.io import ate_rmse, read_tum_trajectory
+from ydorbslam_tpu.slam.system import SlamSystem, Sensor
+
+
+def small_cfg():
+    return SlamConfig(
+        camera=CameraConfig(
+            fx=500.0, fy=500.0, cx=320.0, cy=240.0, bf=50.0,
+            width=640, height=480, fps=30.0,
+        ),
+        orb=OrbConfig(n_features=512),
+        # Treat the whole synthetic depth range as "close" (ThDepth in
+        # baseline units; 100 x 0.1m = 10m) so keyframes keep seeding.
+        depth=DepthConfig(th_depth=100.0),
+        # Synthetic scenes have far fewer close points than real TUM
+        # frames; relax the close-point KF trigger so mapping exercises.
+        tracking=TrackingConfig(
+            kf_close_tracked_max=10_000, kf_close_untracked_min=3,
+            min_matches_local_map=20,
+        ),
+        capacity=CapacityConfig(
+            max_keypoints=512,
+            max_keyframes=24,
+            max_map_points=4096,
+            max_obs_per_point=12,
+            local_ba_window_kf=12,
+            local_ba_fixed_kf=6,
+            local_ba_max_points=2048,
+            tracking_points=2048,
+        ),
+    )
+
+
+def centers(poses):
+    return np.stack([-p[:3, :3].T @ p[:3, 3] for p in poses])
+
+
+def test_system_with_mapping(rng, tmp_path):
+    seq = SyntheticRgbdSequence(rng, n_frames=15, n_landmarks=500)
+    sys = SlamSystem(small_cfg(), Sensor.RGBD, enable_loop_closing=False)
+    for i in range(len(seq)):
+        t, g, d = seq.frame(i)
+        ok = sys.track_rgbd(t, g, d)
+        assert ok, f"lost at frame {i}"
+    assert sys.n_keyframes >= 2
+    n_mp = int(np.asarray(sys.map.mp_valid).sum())
+    assert n_mp > 200
+
+    # Trajectory export + accuracy.
+    traj = str(tmp_path / "traj.txt")
+    sys.save_trajectory_tum(traj)
+    ts, pos, _ = read_tum_trajectory(traj)
+    assert len(ts) >= 14
+    gt = centers(seq.poses[: len(seq)])
+    # Align lengths: records skip nothing here.
+    err = ate_rmse(pos, gt[-len(pos):] if len(pos) != len(gt) else gt)
+    assert err < 0.05, f"ATE {err}"
+
+    kf_traj = str(tmp_path / "kf.txt")
+    sys.save_keyframe_trajectory_tum(kf_traj)
+    kts, kpos, _ = read_tum_trajectory(kf_traj)
+    assert len(kts) == int(np.asarray(sys.map.kf_valid).sum())
+
+
+def test_map_observations_consistent(rng):
+    seq = SyntheticRgbdSequence(rng, n_frames=8, n_landmarks=400)
+    sys = SlamSystem(small_cfg(), Sensor.RGBD, enable_loop_closing=False)
+    for i in range(len(seq)):
+        t, g, d = seq.frame(i)
+        sys.track_rgbd(t, g, d)
+    m = sys.map
+    kf_mp = np.asarray(m.kf_mp)
+    mp_valid = np.asarray(m.mp_valid)
+    obs_kf = np.asarray(m.mp_obs_kf)
+    obs_kp = np.asarray(m.mp_obs_kp)
+    kf_valid = np.asarray(m.kf_valid)
+    # Every observation (p -> kf,kp) must be mirrored by kf_mp[kf,kp] == p
+    # (unless it was re-bound by fusion) and point at a valid keyframe.
+    n_checked = 0
+    for p in np.where(mp_valid)[0][:200]:
+        for o in range(obs_kf.shape[1]):
+            kf, kp = obs_kf[p, o], obs_kp[p, o]
+            if kf < 0:
+                continue
+            assert kf_valid[kf], f"obs of point {p} references culled kf {kf}"
+            n_checked += 1
+    assert n_checked > 100
+    # Every kf_mp binding must point at a valid map point.
+    for k in np.where(kf_valid)[0]:
+        ids = kf_mp[k]
+        live = ids[ids >= 0]
+        assert mp_valid[live].all()
+
+
+def test_reset(rng):
+    seq = SyntheticRgbdSequence(rng, n_frames=4, n_landmarks=300)
+    sys = SlamSystem(small_cfg(), Sensor.RGBD, enable_loop_closing=False)
+    for i in range(4):
+        t, g, d = seq.frame(i)
+        sys.track_rgbd(t, g, d)
+    sys.reset()
+    assert sys.n_keyframes == 0
+    assert not np.asarray(sys.map.kf_valid).any()
+    # Tracks again after reset.
+    for i in range(4):
+        t, g, d = seq.frame(i)
+        ok = sys.track_rgbd(t, g, d)
+    assert ok

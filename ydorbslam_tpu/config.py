@@ -158,8 +158,10 @@ class CapacityConfig:
     max_keyframes: int = 512
     max_map_points: int = 65536
     max_obs_per_point: int = 32
-    local_ba_max_kf: int = 96  # optimized + fixed window
-    local_ba_max_points: int = 8192
+    local_ba_window_kf: int = 64  # optimized covisibility window
+    local_ba_fixed_kf: int = 32  # fixed observer cameras
+    local_ba_max_points: int = 4096
+    tracking_points: int = 8192  # local tracking map cap
     reloc_candidates: int = 8
     loop_candidates: int = 8
     ransac_batch: int = 256  # vmapped RANSAC hypotheses per round

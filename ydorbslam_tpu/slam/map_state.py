@@ -1,0 +1,424 @@
+"""The map as a struct-of-arrays pytree: keyframes, points, graphs.
+
+Replaces the reference's pointer-web map model — ``Map`` (src/map.hpp),
+``KeyFrame`` (src/keyFrame.hpp: covisibility graph, spanning tree, loop
+edges), ``MapPoint`` (src/mapPoint.hpp: observation dict, distinctive
+descriptor, normal/depth band, found/visible counters) — and its ~20
+mutexes (SURVEY.md §2c P5) with ONE immutable fixed-capacity pytree of
+device arrays.  Every mutation is a pure function MapState -> MapState
+built from scatter/segment ops; there is nothing to lock.
+
+Capacity conventions: K keyframe slots, N keypoint slots per keyframe,
+M map-point slots, O observation slots per point.  Invalid/-empty is
+``valid == False`` / index ``-1``.  Slot allocation is functional: free
+slots are ranked with a cumsum and new entities scatter into the first
+free ranks — no host round-trip.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.camera import CameraIntrinsics, backproject
+from ..ops.extractor import FrameFeatures
+from ..ops.hamming import distance_matrix
+
+
+class MapState(NamedTuple):
+    # --- keyframes (K, ...) ---
+    kf_pose: jax.Array  # (K,4,4) T_cw
+    kf_valid: jax.Array  # (K,) bool
+    kf_timestamp: jax.Array  # (K,) f32
+    kf_frame_id: jax.Array  # (K,) i32 source frame index (id ordering)
+    kf_uv: jax.Array  # (K,N,2) undistorted
+    kf_right_u: jax.Array  # (K,N)
+    kf_depth: jax.Array  # (K,N)
+    kf_octave: jax.Array  # (K,N) i32
+    kf_angle: jax.Array  # (K,N)
+    kf_desc: jax.Array  # (K,N,8) u32
+    kf_kp_valid: jax.Array  # (K,N) bool
+    kf_mp: jax.Array  # (K,N) i32 map-point id per keypoint slot (-1)
+    # --- map points (M, ...) ---
+    mp_pos: jax.Array  # (M,3)
+    mp_valid: jax.Array  # (M,) bool
+    mp_desc: jax.Array  # (M,8) u32 distinctive descriptor
+    mp_normal: jax.Array  # (M,3) viewing normal
+    mp_min_dist: jax.Array  # (M,)
+    mp_max_dist: jax.Array  # (M,)
+    mp_ref_kf: jax.Array  # (M,) i32
+    mp_first_kf: jax.Array  # (M,) i32
+    mp_found: jax.Array  # (M,) i32
+    mp_visible: jax.Array  # (M,) i32
+    mp_obs_kf: jax.Array  # (M,O) i32 observing keyframe (-1 empty)
+    mp_obs_kp: jax.Array  # (M,O) i32 keypoint slot in that keyframe
+    # --- graph (K, ...) ---
+    covis: jax.Array  # (K,K) i32 shared-point weights
+    parent: jax.Array  # (K,) i32 spanning-tree parent (-1 root)
+    loop_edge: jax.Array  # (K,) i32 loop edge partner (-1)
+    kf_T_c2p: jax.Array  # (K,4,4) pose relative to parent, frozen at cull
+    # time (reference m_cvMat_T_c2p, used by the trajectory writer to
+    # walk past culled reference keyframes, src/system.cpp:209-232)
+
+    @property
+    def K(self):
+        return self.kf_pose.shape[0]
+
+    @property
+    def N(self):
+        return self.kf_uv.shape[1]
+
+    @property
+    def M(self):
+        return self.mp_pos.shape[0]
+
+    @property
+    def O(self):
+        return self.mp_obs_kf.shape[1]
+
+
+def empty_map(K: int, N: int, M: int, O: int) -> MapState:
+    return MapState(
+        kf_pose=jnp.tile(jnp.eye(4)[None], (K, 1, 1)),
+        kf_valid=jnp.zeros((K,), bool),
+        kf_timestamp=jnp.zeros((K,)),
+        kf_frame_id=-jnp.ones((K,), jnp.int32),
+        kf_uv=jnp.zeros((K, N, 2)),
+        kf_right_u=-jnp.ones((K, N)),
+        kf_depth=-jnp.ones((K, N)),
+        kf_octave=jnp.zeros((K, N), jnp.int32),
+        kf_angle=jnp.zeros((K, N)),
+        kf_desc=jnp.zeros((K, N, 8), jnp.uint32),
+        kf_kp_valid=jnp.zeros((K, N), bool),
+        kf_mp=-jnp.ones((K, N), jnp.int32),
+        mp_pos=jnp.zeros((M, 3)),
+        mp_valid=jnp.zeros((M,), bool),
+        mp_desc=jnp.zeros((M, 8), jnp.uint32),
+        mp_normal=jnp.zeros((M, 3)),
+        mp_min_dist=jnp.zeros((M,)),
+        mp_max_dist=jnp.zeros((M,)),
+        mp_ref_kf=-jnp.ones((M,), jnp.int32),
+        mp_first_kf=-jnp.ones((M,), jnp.int32),
+        mp_found=jnp.ones((M,), jnp.int32),
+        mp_visible=jnp.ones((M,), jnp.int32),
+        mp_obs_kf=-jnp.ones((M, O), jnp.int32),
+        mp_obs_kp=-jnp.ones((M, O), jnp.int32),
+        covis=jnp.zeros((K, K), jnp.int32),
+        parent=-jnp.ones((K,), jnp.int32),
+        loop_edge=-jnp.ones((K,), jnp.int32),
+        kf_T_c2p=jnp.tile(jnp.eye(4)[None], (K, 1, 1)),
+    )
+
+
+# ----------------------------------------------------------------------
+# Functional slot allocation
+# ----------------------------------------------------------------------
+
+def rank_free_slots(valid: jax.Array) -> jax.Array:
+    """rank[i] = how many free slots precede free slot i (for allocation)."""
+    free = ~valid
+    return jnp.where(free, jnp.cumsum(free) - 1, -1)
+
+
+def alloc_slots(valid: jax.Array, want: jax.Array) -> jax.Array:
+    """Map each requested rank r in ``want`` (int, -1 = no request) to the
+    r-th free slot index, or -1 if out of capacity."""
+    rank = rank_free_slots(valid)  # (M,)
+    n_slots = valid.shape[0]
+    # slot_of_rank[r] = index of r-th free slot
+    slot_of_rank = jnp.full((n_slots,), -1, jnp.int32)
+    slot_of_rank = slot_of_rank.at[jnp.clip(rank, 0, n_slots - 1)].set(
+        jnp.arange(n_slots, dtype=jnp.int32), mode="drop"
+    )
+    slot_of_rank = jnp.where(
+        jnp.arange(n_slots) < jnp.sum(~valid), slot_of_rank, -1
+    )
+    return jnp.where(
+        (want >= 0) & (want < n_slots), slot_of_rank[jnp.clip(want, 0, n_slots - 1)], -1
+    )
+
+
+# ----------------------------------------------------------------------
+# Observation management
+# ----------------------------------------------------------------------
+
+def add_observations(
+    m: MapState, mp_ids: jax.Array, kf_id, kp_idx: jax.Array, valid: jax.Array
+) -> MapState:
+    """Append (kf_id, kp) observations to points ``mp_ids`` (one obs per
+    point max — callers pass unique assignments).
+
+    MapPoint::addObservation (src/mapPoint.cpp) as a scatter: the new
+    observation lands in the first free O-slot of each point; if a point
+    is at capacity the observation is dropped (capped-obs policy).
+    """
+    mp = jnp.clip(mp_ids, 0, m.M - 1)
+    slots_free = m.mp_obs_kf[mp] < 0  # (B,O)
+    first_free = jnp.argmax(slots_free, axis=-1)
+    has_free = jnp.any(slots_free, axis=-1)
+    ok = valid & (mp_ids >= 0) & has_free
+    mp_w = jnp.where(ok, mp, m.M - 1)  # writes to dummy row get masked
+    obs_kf = m.mp_obs_kf.at[mp_w, first_free].set(
+        jnp.where(ok, jnp.int32(kf_id), m.mp_obs_kf[mp_w, first_free]), mode="drop"
+    )
+    obs_kp = m.mp_obs_kp.at[mp_w, first_free].set(
+        jnp.where(ok, kp_idx.astype(jnp.int32), m.mp_obs_kp[mp_w, first_free]),
+        mode="drop",
+    )
+    return m._replace(mp_obs_kf=obs_kf, mp_obs_kp=obs_kp)
+
+
+def erase_observations(m: MapState, mp_ids: jax.Array, kf_ids: jax.Array) -> MapState:
+    """Remove observation (kf, *) from each point in mp_ids (batched).
+
+    MapPoint::eraseObservation + Frame slot clear (mapPoint.cpp:58-127).
+    """
+    mp = jnp.clip(mp_ids, 0, m.M - 1)
+    ok = (mp_ids >= 0)[:, None]
+    hit = (m.mp_obs_kf[mp] == kf_ids[:, None]) & ok  # (B,O)
+    kp_slots = m.mp_obs_kp[mp]
+    obs_kf = m.mp_obs_kf.at[mp[:, None], jnp.arange(m.O)[None, :]].set(
+        jnp.where(hit, -1, m.mp_obs_kf[mp]), mode="drop"
+    )
+    obs_kp = m.mp_obs_kp.at[mp[:, None], jnp.arange(m.O)[None, :]].set(
+        jnp.where(hit, -1, kp_slots), mode="drop"
+    )
+    # Clear the keyframe keypoint slot as well.
+    kf_w = jnp.where(mp_ids >= 0, kf_ids, 0)
+    kp_any = jnp.where(hit, kp_slots, -1).max(axis=-1)
+    kf_mp = m.kf_mp.at[kf_w, jnp.clip(kp_any, 0, m.N - 1)].set(
+        jnp.where((kp_any >= 0) & (mp_ids >= 0), -1, m.kf_mp[kf_w, jnp.clip(kp_any, 0, m.N - 1)]),
+        mode="drop",
+    )
+    return m._replace(mp_obs_kf=obs_kf, mp_obs_kp=obs_kp, kf_mp=kf_mp)
+
+
+def recount_obs(m: MapState) -> jax.Array:
+    """(M,) number of live observations per point."""
+    return jnp.sum(m.mp_obs_kf >= 0, axis=-1)
+
+
+# ----------------------------------------------------------------------
+# Derived point attributes
+# ----------------------------------------------------------------------
+
+def refresh_points(
+    m: MapState, mp_ids: jax.Array, scale_factor: float, n_levels: int
+) -> MapState:
+    """Recompute distinctive descriptor + normal + scale band for a batch
+    of points (fixed batch size with -1 padding).
+
+    MapPoint::computeDistinctiveDescriptors (min-median-Hamming over all
+    observation descriptors, src/mapPoint.cpp:169-218) and
+    updateNormalAndDepth (mean viewing ray; band from the reference
+    keyframe's octave, src/mapPoint.cpp:219-250).
+    """
+    B = mp_ids.shape[0]
+    mp = jnp.clip(mp_ids, 0, m.M - 1)
+    ok = (mp_ids >= 0) & m.mp_valid[mp]
+    obs_kf = m.mp_obs_kf[mp]  # (B,O)
+    obs_kp = m.mp_obs_kp[mp]
+    has = obs_kf >= 0
+    kfc = jnp.clip(obs_kf, 0, m.K - 1)
+    kpc = jnp.clip(obs_kp, 0, m.N - 1)
+    descs = m.kf_desc[kfc, kpc]  # (B,O,8)
+
+    # Min-median-distance descriptor.
+    d = jax.vmap(distance_matrix)(descs, descs)  # (B,O,O)
+    big = 10_000
+    d = jnp.where(has[:, None, :] & has[:, :, None], d, big)
+    d_sorted = jnp.sort(d, axis=-1)  # per row
+    n_obs = jnp.sum(has, axis=-1)  # (B,)
+    med_idx = jnp.clip(n_obs // 2, 0, m.O - 1)
+    median = jnp.take_along_axis(
+        d_sorted, med_idx[:, None, None].repeat(m.O, axis=1), axis=-1
+    )[..., 0]  # (B,O)
+    median = jnp.where(has, median, big)
+    best = jnp.argmin(median, axis=-1)  # (B,)
+    new_desc = jnp.take_along_axis(descs, best[:, None, None].repeat(8, -1), axis=1)[
+        :, 0
+    ]
+
+    # Normal: mean unit vector from observing camera centers to the point.
+    poses = m.kf_pose[kfc]  # (B,O,4,4)
+    R = poses[..., :3, :3]
+    t = poses[..., :3, 3]
+    centers = -jnp.einsum("boij,boj->boi", jnp.swapaxes(R, -1, -2), t)
+    pos = m.mp_pos[mp][:, None, :]
+    rays = pos - centers
+    ray_norm = jnp.linalg.norm(rays, axis=-1, keepdims=True)
+    unit = jnp.where(has[..., None], rays / jnp.maximum(ray_norm, 1e-6), 0.0)
+    normal = jnp.sum(unit, axis=1) / jnp.maximum(n_obs[:, None], 1)
+
+    # Scale band from the reference keyframe observation (use the first
+    # live obs as reference — the reference uses m_refKeyFrame).
+    first = jnp.argmax(has, axis=-1)
+    ref_kf = jnp.take_along_axis(kfc, first[:, None], axis=-1)[:, 0]
+    ref_kp = jnp.take_along_axis(kpc, first[:, None], axis=-1)[:, 0]
+    ref_center = -jnp.einsum(
+        "bij,bj->bi",
+        jnp.swapaxes(m.kf_pose[ref_kf][..., :3, :3], -1, -2),
+        m.kf_pose[ref_kf][..., :3, 3],
+    )
+    dist_ref = jnp.linalg.norm(m.mp_pos[mp] - ref_center, axis=-1)
+    octv = m.kf_octave[ref_kf, ref_kp]
+    level_scale = scale_factor ** octv.astype(jnp.float32)
+    max_dist = dist_ref * level_scale
+    min_dist = max_dist / (scale_factor ** (n_levels - 1))
+
+    okb = ok & (n_obs > 0)
+    mp_w = jnp.where(okb, mp, m.M - 1)
+
+    def put(arr, new):
+        cur = arr[mp_w]
+        return arr.at[mp_w].set(jnp.where(okb.reshape((B,) + (1,) * (new.ndim - 1)), new, cur), mode="drop")
+
+    return m._replace(
+        mp_desc=put(m.mp_desc, new_desc),
+        mp_normal=put(m.mp_normal, normal),
+        mp_max_dist=put(m.mp_max_dist, max_dist),
+        mp_min_dist=put(m.mp_min_dist, min_dist),
+        mp_ref_kf=put(m.mp_ref_kf, ref_kf.astype(jnp.int32)),
+    )
+
+
+# ----------------------------------------------------------------------
+# Covisibility + spanning tree
+# ----------------------------------------------------------------------
+
+def update_covisibility(m: MapState, kf_id) -> MapState:
+    """Recompute the covisibility row/col of one keyframe.
+
+    KeyFrame::updateConnections (src/keyFrame.cpp:37-96): weight(i,j) =
+    number of shared map points; edges kept if weight > 15 or the single
+    max edge (we store ALL weights and let queries threshold — cheaper
+    than pruning and strictly more information).  The spanning-tree
+    parent of a new keyframe is its strongest earlier neighbor.
+    """
+    ids = m.kf_mp[kf_id]  # (N,)
+    member = jnp.zeros((m.M,), bool).at[jnp.clip(ids, 0, m.M - 1)].set(
+        ids >= 0, mode="drop"
+    )
+    # count per other kf: how many of its kp map-point ids are in `member`
+    all_ids = jnp.clip(m.kf_mp, 0, m.M - 1)  # (K,N)
+    hits = member[all_ids] & (m.kf_mp >= 0) & m.kf_valid[:, None]
+    w = jnp.sum(hits, axis=-1).astype(jnp.int32)  # (K,)
+    w = w.at[kf_id].set(0)
+    covis = m.covis.at[kf_id, :].set(w).at[:, kf_id].set(w)
+    # Spanning tree: first connection -> parent = argmax weight among
+    # earlier keyframes (keyFrame.cpp:90-94).
+    earlier = (m.kf_frame_id >= 0) & (m.kf_frame_id < m.kf_frame_id[kf_id])
+    w_earlier = jnp.where(earlier, w, -1)
+    best = jnp.argmax(w_earlier)
+    parent = jnp.where(
+        (m.parent[kf_id] < 0) & (w_earlier[best] > 0), best, m.parent[kf_id]
+    ).astype(jnp.int32)
+    return m._replace(covis=covis, parent=m.parent.at[kf_id].set(parent))
+
+
+# ----------------------------------------------------------------------
+# Keyframe insertion
+# ----------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("scale_factor", "n_levels"))
+def insert_keyframe(
+    m: MapState,
+    kf_id,
+    frame_id,
+    timestamp,
+    feats: FrameFeatures,
+    T_cw: jax.Array,
+    matched_mp: jax.Array,
+    cam: CameraIntrinsics,
+    depth_threshold: jax.Array,
+    kf_count,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+) -> Tuple[MapState, jax.Array]:
+    """Insert a frame as keyframe ``kf_id`` (a free slot chosen by host).
+
+    Mirrors Tracking::createNewKeyFrame + LocalMapping::processNewKeyFrame
+    (src/tracking.cpp:797-844, src/localMapping.cpp:63-89):
+      * store the frame arrays in the keyframe slot,
+      * bind existing map-point matches and add observations,
+      * seed NEW close points (depth in (0, depth_threshold]) for
+        keypoints without a match (the reference sorts by depth and takes
+        at least 100; we take all close ones — capacity-bounded),
+      * refresh touched points, update covisibility + spanning tree.
+
+    Returns (map, n_new_points).
+    """
+    N = m.N
+    idx = jnp.arange(N)
+
+    # 1. frame arrays into the keyframe slot
+    matched_ok = (matched_mp >= 0) & feats.valid
+    matched_ok &= m.mp_valid[jnp.clip(matched_mp, 0, m.M - 1)]
+
+    # 2. new close points for unmatched keypoints with depth
+    close = feats.valid & (feats.depth > 0) & (feats.depth <= depth_threshold)
+    want_new = close & ~matched_ok
+    ranks = jnp.where(want_new, jnp.cumsum(want_new) - 1, -1)
+    new_slots = alloc_slots(m.mp_valid, ranks)  # (N,) mp slot or -1
+    created = new_slots >= 0
+
+    p_c = backproject(cam, feats.uv, jnp.maximum(feats.depth, 1e-3))
+    R, t = T_cw[:3, :3], T_cw[:3, 3]
+    p_w = (p_c - t) @ R
+
+    slot_w = jnp.where(created, new_slots, m.M - 1)
+    mp_pos = m.mp_pos.at[slot_w].set(
+        jnp.where(created[:, None], p_w, m.mp_pos[slot_w]), mode="drop"
+    )
+    mp_valid = m.mp_valid.at[slot_w].set(
+        jnp.where(created, True, m.mp_valid[slot_w]), mode="drop"
+    )
+    # mp_first_kf stores the KEYFRAME COUNT at creation (not the slot id)
+    # so the recent-point age rule survives slot reuse.
+    mp_first = m.mp_first_kf.at[slot_w].set(
+        jnp.where(created, jnp.int32(kf_count), m.mp_first_kf[slot_w]), mode="drop"
+    )
+    zero32 = jnp.zeros_like(m.mp_found[slot_w])
+    m = m._replace(
+        mp_pos=mp_pos,
+        mp_valid=mp_valid,
+        mp_first_kf=mp_first,
+        mp_found=m.mp_found.at[slot_w].set(jnp.where(created, 1, m.mp_found[slot_w]), mode="drop"),
+        mp_visible=m.mp_visible.at[slot_w].set(jnp.where(created, 1, m.mp_visible[slot_w]), mode="drop"),
+        # fresh points start with empty obs lists
+        mp_obs_kf=m.mp_obs_kf.at[slot_w].set(
+            jnp.where(created[:, None], -1, m.mp_obs_kf[slot_w]), mode="drop"
+        ),
+        mp_obs_kp=m.mp_obs_kp.at[slot_w].set(
+            jnp.where(created[:, None], -1, m.mp_obs_kp[slot_w]), mode="drop"
+        ),
+    )
+
+    kf_mp_row = jnp.where(matched_ok, matched_mp, jnp.where(created, new_slots, -1))
+    m = m._replace(
+        kf_pose=m.kf_pose.at[kf_id].set(T_cw),
+        kf_valid=m.kf_valid.at[kf_id].set(True),
+        kf_timestamp=m.kf_timestamp.at[kf_id].set(timestamp),
+        kf_frame_id=m.kf_frame_id.at[kf_id].set(jnp.int32(frame_id)),
+        kf_uv=m.kf_uv.at[kf_id].set(feats.uv),
+        kf_right_u=m.kf_right_u.at[kf_id].set(feats.right_u),
+        kf_depth=m.kf_depth.at[kf_id].set(feats.depth),
+        kf_octave=m.kf_octave.at[kf_id].set(feats.octave),
+        kf_angle=m.kf_angle.at[kf_id].set(feats.angle),
+        kf_desc=m.kf_desc.at[kf_id].set(feats.desc),
+        kf_kp_valid=m.kf_kp_valid.at[kf_id].set(feats.valid),
+        kf_mp=m.kf_mp.at[kf_id].set(kf_mp_row),
+    )
+
+    # 3. observations for both matched and created points
+    m = add_observations(m, kf_mp_row, kf_id, idx, kf_mp_row >= 0)
+
+    # 4. refresh all touched points (descriptor/normal/band)
+    m = refresh_points(m, jnp.where(kf_mp_row >= 0, kf_mp_row, -1),
+                       scale_factor, n_levels)
+
+    # 5. graph updates
+    m = update_covisibility(m, kf_id)
+    return m, jnp.sum(created)

@@ -1,0 +1,280 @@
+"""Local mapping: point culling, local BA windowing, keyframe culling.
+
+Replaces the reference ``LocalMapping`` thread (src/localMapping.cpp):
+the queue-consumer loop becomes synchronous host orchestration (the
+pipeline-parallelism decision of SURVEY.md §2c P1 — batched on-chip work
+instead of thread interleaving); each step is a jitted
+MapState -> MapState function.
+
+  * cullMapPoint (localMapping.cpp:90-108): found-ratio < 0.25, or
+    too-few observations within 2 keyframes of creation.
+  * local BA (optimizer.cpp:138-352): covisibility window around the
+    new keyframe, fixed observer cameras, two-phase Schur LM
+    (optim/schur.py), outlier observation erasure.
+  * cullKeyFrame (localMapping.cpp:371-405): 90% of close points seen
+    >= 3 times elsewhere at same/finer scale.
+
+Triangulation of new points between keyframes (createNewMapPoints) and
+neighbor fusion live in slam/triangulate.py.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.camera import CameraIntrinsics
+from ..optim.schur import BAProblem, bundle_adjust
+from .map_state import MapState, erase_observations, recount_obs
+
+# Default local BA capacity split: optimized window + fixed observers.
+LBA_WIN = 64
+LBA_FIX = 32
+LBA_PTS = 4096
+
+
+@jax.jit
+def cull_map_points(m: MapState, current_kf_count: jax.Array) -> MapState:
+    """Recent-map-point culling (localMapping.cpp:90-108).
+
+    found/visible ratio < 0.25 -> cull;
+    point created >= 2 KFs ago with <= 3 observations -> cull.
+    (Points older than 3 KFs are permanent in the reference; encoded
+    here by only applying the obs test inside the 2..3-KF window.)
+    """
+    ratio = m.mp_found.astype(jnp.float32) / jnp.maximum(m.mp_visible, 1)
+    n_obs = recount_obs(m)
+    age = current_kf_count - m.mp_first_kf  # in keyframe insertions
+    # The reference checks each recent point once at age 2 (>=2 in code,
+    # but survivors leave the recent list at age 3 so the test fires
+    # exactly once); points passing it are permanent.
+    bad = m.mp_valid & (
+        (ratio < 0.25)
+        | ((age == 2) & (n_obs <= 3))
+        | (n_obs == 0)
+    )
+    mp_valid = m.mp_valid & ~bad
+    # Clear keyframe slots pointing at dead points.
+    pt_ok = mp_valid[jnp.clip(m.kf_mp, 0, m.M - 1)] & (m.kf_mp >= 0)
+    kf_mp = jnp.where(pt_ok, m.kf_mp, -1)
+    # Clear dead points' observation lists.
+    obs_kf = jnp.where(mp_valid[:, None], m.mp_obs_kf, -1)
+    obs_kp = jnp.where(mp_valid[:, None], m.mp_obs_kp, -1)
+    return m._replace(mp_valid=mp_valid, kf_mp=kf_mp, mp_obs_kf=obs_kf, mp_obs_kp=obs_kp)
+
+
+@functools.partial(jax.jit, static_argnames=("win_cap", "fix_cap", "pts_cap"))
+def select_local_window(
+    m: MapState, kf_id, win_cap: int = LBA_WIN, fix_cap: int = LBA_FIX,
+    pts_cap: int = LBA_PTS,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Pick (window_kfs (LBA_WIN,), fixed_kfs (LBA_FIX,), point_ids (LBA_PTS,)).
+
+    Window = the keyframe + its covisible neighbors by weight
+    (optimizer.cpp:142-173); points = everything those observe; fixed =
+    other keyframes observing those points.  All index lists are -1
+    padded to their caps (weight-ordered truncation when over cap).
+    """
+    w = m.covis[kf_id] * m.kf_valid.astype(jnp.int32)
+    w = w.at[kf_id].set(1 << 20)  # self first
+    vals, win = jax.lax.top_k(w, min(win_cap, m.K))
+    win = jnp.where(vals > 0, win, -1)
+    if win.shape[0] < win_cap:
+        win = jnp.pad(win, (0, win_cap - win.shape[0]), constant_values=-1)
+
+    # Points observed by the window.
+    in_win = jnp.zeros((m.K + 1,), bool).at[jnp.where(win >= 0, win, m.K)].set(
+        win >= 0
+    )[: m.K]
+    kf_sel = in_win[:, None] & (m.kf_mp >= 0)
+    member = jnp.zeros((m.M,), bool).at[
+        jnp.clip(m.kf_mp, 0, m.M - 1)
+    ].max(kf_sel, mode="drop")
+    member &= m.mp_valid
+    order = jnp.where(member, jnp.arange(m.M), m.M)
+    pts = jnp.sort(order)[:pts_cap].astype(jnp.int32)
+    pts = jnp.where(pts < m.M, pts, -1)
+
+    # Fixed keyframes: observers of selected points outside the window.
+    ptc = jnp.clip(pts, 0, m.M - 1)
+    obs_k = m.mp_obs_kf[ptc]  # (pts_cap, O)
+    obs_ok = (pts[:, None] >= 0) & (obs_k >= 0)
+    observer = jnp.zeros((m.K,), bool).at[
+        jnp.clip(obs_k, 0, m.K - 1)
+    ].max(obs_ok, mode="drop")
+    fixed_mask = observer & m.kf_valid & ~in_win
+    # Order fixed KFs by covisibility with the center keyframe.
+    fw = jnp.where(fixed_mask, m.covis[kf_id] + 1, -1)
+    fvals, fixed = jax.lax.top_k(fw, min(fix_cap, m.K))
+    fixed = jnp.where(fvals > 0, fixed, -1)
+    if fixed.shape[0] < fix_cap:
+        fixed = jnp.pad(fixed, (0, fix_cap - fixed.shape[0]), constant_values=-1)
+    return win, fixed, pts
+
+
+@jax.jit
+def build_local_ba(
+    m: MapState, win: jax.Array, fixed: jax.Array, pts: jax.Array,
+    inv_sigma2_tab: jax.Array,
+) -> BAProblem:
+    """Gather the capacity-bounded BAProblem for the local window."""
+    C = win.shape[0] + fixed.shape[0]
+    cams = jnp.concatenate([win, fixed])  # (C,)
+    cam_ok = cams >= 0
+    camc = jnp.clip(cams, 0, m.K - 1)
+    T = m.kf_pose[camc]
+    cam_fixed = jnp.arange(C) >= win.shape[0]
+    # KF id 0 (the map origin) is always fixed (optimizer.cpp:27,176).
+    cam_fixed |= m.kf_frame_id[camc] == m.kf_frame_id[jnp.argmax(m.kf_valid)]
+    # LUT keyframe id -> local cam index.
+    lut = jnp.full((m.K,), -1, jnp.int32).at[
+        jnp.where(cam_ok, camc, 0)
+    ].set(jnp.where(cam_ok, jnp.arange(C, dtype=jnp.int32), -1), mode="drop")
+
+    ptc = jnp.clip(pts, 0, m.M - 1)
+    pt_ok = (pts >= 0) & m.mp_valid[ptc]
+    obs_kf = m.mp_obs_kf[ptc]  # (P,O)
+    obs_kp = m.mp_obs_kp[ptc]
+    obs_cam = jnp.where(obs_kf >= 0, lut[jnp.clip(obs_kf, 0, m.K - 1)], -1)
+    kfc = jnp.clip(obs_kf, 0, m.K - 1)
+    kpc = jnp.clip(obs_kp, 0, m.N - 1)
+    uv = m.kf_uv[kfc, kpc]
+    ur = m.kf_right_u[kfc, kpc]
+    obs_uvr = jnp.concatenate([uv, ur[..., None]], axis=-1)
+    octv = m.kf_octave[kfc, kpc]
+    obs_valid = pt_ok[:, None] & (obs_cam >= 0) & m.kf_kp_valid[kfc, kpc]
+    return BAProblem(
+        T_cw=T,
+        cam_fixed=cam_fixed,
+        cam_valid=cam_ok,
+        p_w=m.mp_pos[ptc],
+        pt_valid=pt_ok,
+        obs_cam=obs_cam,
+        obs_uvr=obs_uvr,
+        obs_inv_sigma2=inv_sigma2_tab[octv],
+        obs_stereo=ur >= 0,
+        obs_valid=obs_valid,
+    )
+
+
+@jax.jit
+def apply_local_ba(
+    m: MapState,
+    win: jax.Array,
+    pts: jax.Array,
+    T_new: jax.Array,
+    p_new: jax.Array,
+    outlier: jax.Array,
+) -> MapState:
+    """Write back optimized poses/points and erase outlier observations
+    (the under-map-mutex recovery step of optimizer.cpp:336-352 — here
+    just a functional update)."""
+    win_ok = win >= 0
+    winc = jnp.where(win_ok, win, 0)
+    kf_pose = m.kf_pose.at[winc].set(
+        jnp.where(win_ok[:, None, None], T_new[: win.shape[0]], m.kf_pose[winc]),
+        mode="drop",
+    )
+    pt_ok = pts >= 0
+    ptc = jnp.where(pt_ok, pts, 0)
+    mp_pos = m.mp_pos.at[ptc].set(
+        jnp.where(pt_ok[:, None], p_new, m.mp_pos[ptc]), mode="drop"
+    )
+    m = m._replace(kf_pose=kf_pose, mp_pos=mp_pos)
+
+    # Erase outlier observations: clear mp_obs slot + kf_mp slot.
+    obs_kf = m.mp_obs_kf[jnp.clip(ptc, 0, m.M - 1)]
+    obs_kp = m.mp_obs_kp[jnp.clip(ptc, 0, m.M - 1)]
+    kill = outlier & pt_ok[:, None] & (obs_kf >= 0)
+    new_obs_kf = jnp.where(kill, -1, obs_kf)
+    new_obs_kp = jnp.where(kill, -1, obs_kp)
+    mp_obs_kf = m.mp_obs_kf.at[ptc].set(new_obs_kf, mode="drop")
+    mp_obs_kp = m.mp_obs_kp.at[ptc].set(new_obs_kp, mode="drop")
+    kf_w = jnp.where(kill, obs_kf, 0)
+    kp_w = jnp.where(kill, obs_kp, 0)
+    kf_mp = m.kf_mp.at[kf_w.reshape(-1), kp_w.reshape(-1)].set(
+        jnp.where(kill.reshape(-1), -1, m.kf_mp[kf_w.reshape(-1), kp_w.reshape(-1)]),
+        mode="drop",
+    )
+    return m._replace(mp_obs_kf=mp_obs_kf, mp_obs_kp=mp_obs_kp, kf_mp=kf_mp)
+
+
+def local_bundle_adjust(
+    m: MapState, kf_id: int, cam: CameraIntrinsics, inv_sigma2_tab: jax.Array,
+    iters1: int = 5, iters2: int = 10,
+    win_cap: int = LBA_WIN, fix_cap: int = LBA_FIX, pts_cap: int = LBA_PTS,
+) -> MapState:
+    """Full local BA pass around a new keyframe (host orchestration)."""
+    win, fixed, pts = select_local_window(m, kf_id, win_cap, fix_cap, pts_cap)
+    prob = build_local_ba(m, win, fixed, pts, inv_sigma2_tab)
+    T_new, p_new, outlier = bundle_adjust(cam, prob, iters1=iters1, iters2=iters2)
+    return apply_local_ba(m, win, pts, T_new[:win_cap], p_new, outlier)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def cull_keyframes(
+    m: MapState, kf_id, depth_threshold: jax.Array
+) -> MapState:
+    """Redundant-keyframe culling (localMapping.cpp:371-405).
+
+    A covisible keyframe of ``kf_id`` is culled when >= 90% of its close
+    map points are observed by >= 3 other keyframes at the same or finer
+    scale.  Spanning-tree children are re-parented to the culled node's
+    parent (simplified vs the reference's max-covisibility re-parenting).
+    The first keyframe is never culled.
+    """
+    # Candidates: covisible neighbors of the current keyframe.
+    cand = (m.covis[kf_id] > 0) & m.kf_valid
+    first_kf = jnp.argmax(m.kf_valid)
+    cand = cand.at[first_kf].set(False).at[kf_id].set(False)
+
+    ids = jnp.clip(m.kf_mp, 0, m.M - 1)  # (K,N)
+    pt_live = (m.kf_mp >= 0) & m.mp_valid[ids] & m.kf_kp_valid
+    close = pt_live & (m.kf_depth > 0) & (m.kf_depth <= depth_threshold)
+    n_obs = recount_obs(m)[ids]  # (K,N)
+    # scale condition: count observations at octave <= this octave + 1
+    oct_here = m.kf_octave  # (K,N)
+    obs_oct = m.kf_octave[
+        jnp.clip(m.mp_obs_kf[ids], 0, m.K - 1),
+        jnp.clip(m.mp_obs_kp[ids], 0, m.N - 1),
+    ]  # (K,N,O)
+    obs_live = m.mp_obs_kf[ids] >= 0
+    not_self = m.mp_obs_kf[ids] != jnp.arange(m.K)[:, None, None]
+    finer = obs_live & not_self & (obs_oct <= oct_here[..., None] + 1)
+    n_finer = jnp.sum(finer, axis=-1)  # (K,N)
+    redundant_pt = close & (n_finer >= 3)
+    n_close = jnp.sum(close, axis=-1)  # (K,)
+    n_red = jnp.sum(redundant_pt, axis=-1)
+    cull = cand & (n_close > 10) & (
+        n_red.astype(jnp.float32) > 0.9 * n_close.astype(jnp.float32)
+    )
+
+    kf_valid = m.kf_valid & ~cull
+    # Freeze the culled keyframes' pose relative to their parent so the
+    # trajectory writer can walk the spanning tree (system.cpp:209-232).
+    par = jnp.clip(m.parent, 0, m.K - 1)
+    T_par_inv = jnp.linalg.inv(m.kf_pose[par])
+    T_c2p = jnp.einsum("kij,kjl->kil", m.kf_pose, T_par_inv)
+    kf_T_c2p = jnp.where(cull[:, None, None], T_c2p, m.kf_T_c2p)
+    # Erase observations made by culled keyframes.
+    obs_from_culled = cull[jnp.clip(m.mp_obs_kf, 0, m.K - 1)] & (m.mp_obs_kf >= 0)
+    mp_obs_kf = jnp.where(obs_from_culled, -1, m.mp_obs_kf)
+    mp_obs_kp = jnp.where(obs_from_culled, -1, m.mp_obs_kp)
+    kf_mp = jnp.where(cull[:, None], -1, m.kf_mp)
+    # Re-parent children of culled nodes.
+    parent_culled = cull[jnp.clip(m.parent, 0, m.K - 1)] & (m.parent >= 0)
+    new_parent = jnp.where(
+        parent_culled, m.parent[jnp.clip(m.parent, 0, m.K - 1)], m.parent
+    )
+    covis = jnp.where(cull[:, None] | cull[None, :], 0, m.covis)
+    return m._replace(
+        kf_valid=kf_valid,
+        kf_mp=kf_mp,
+        mp_obs_kf=mp_obs_kf,
+        mp_obs_kp=mp_obs_kp,
+        parent=new_parent,
+        covis=covis,
+        kf_T_c2p=kf_T_c2p,
+    )

@@ -1,0 +1,456 @@
+"""System facade: the full SLAM pipeline behind a 4-call API.
+
+Replaces the reference ``System`` class (src/system.hpp:41-78):
+construction from config, ``trackStereo``/``trackRGBD`` frame routing,
+localization-only mode, reset, shutdown, and the two TUM trajectory
+writers.  Where the reference construction spawns LocalMapping /
+LoopClosing / Viewer threads (src/system.cpp:52-61), this system runs
+mapping and loop closing synchronously after keyframe insertion — the
+pipeline-parallelism decision documented in SURVEY.md §2c P1: on TPU,
+interleaved threads become batched on-chip programs, and the
+thread-safety machinery disappears because all state is immutable
+arrays.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig, camera_intrinsics
+from ..io.trajectory import write_tum_trajectory
+from ..ops.extractor import FrameFeatures
+from ..ops.pyramid import level_sigma2
+from ..optim.pose import PoseObservations, optimize_pose
+from .map_state import MapState, empty_map, insert_keyframe
+from .mapping import (
+    cull_keyframes,
+    cull_map_points,
+    local_bundle_adjust,
+)
+from .matchers import match_local_points
+from .tracking import Tracker, TrackingState, landmark_positions
+
+class Sensor(enum.Enum):
+    """src/enumclass.hpp:13-17 (monocular unsupported, as in the
+    reference: System exits on MONOCULAR, src/system.cpp:73-76)."""
+
+    STEREO = 1
+    RGBD = 2
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _select_tracking_set(m: MapState, ref_kf, cap: int = 8192):
+    """Local tracking map: points observed by the reference keyframe's
+    covisibility neighborhood, capped (tracking.cpp:496-569 builds the
+    same set via local-keyframe voting; the cap of 80 KFs is the
+    reference's, tracking.cpp:543)."""
+    w = m.covis[ref_kf] * m.kf_valid.astype(jnp.int32)
+    w = w.at[ref_kf].set(1 << 20)
+    vals, kfs = jax.lax.top_k(w, min(80, m.K))
+    sel_kf = jnp.where(vals > 0, kfs, -1)
+    in_set = jnp.zeros((m.K + 1,), bool).at[
+        jnp.where(sel_kf >= 0, sel_kf, m.K)
+    ].set(sel_kf >= 0)[: m.K]
+    kf_sel = in_set[:, None] & (m.kf_mp >= 0)
+    member = jnp.zeros((m.M,), bool).at[
+        jnp.clip(m.kf_mp, 0, m.M - 1)
+    ].max(kf_sel, mode="drop")
+    member &= m.mp_valid
+    order = jnp.where(member, jnp.arange(m.M), m.M)
+    pts = jnp.sort(order)[:cap].astype(jnp.int32)
+    pts = jnp.where(pts < m.M, pts, -1)
+    ptc = jnp.clip(pts, 0, m.M - 1)
+    return (
+        pts,
+        m.mp_pos[ptc],
+        m.mp_desc[ptc],
+        m.mp_normal[ptc],
+        m.mp_max_dist[ptc],
+        m.mp_min_dist[ptc],
+        (pts >= 0) & m.mp_valid[ptc],
+    )
+
+
+@jax.jit
+def _count_ref_tracked(m: MapState, ref_kf, min_obs):
+    """KeyFrame::trackedMapPointsNum (keyFrame.cpp:221): reference-KF
+    points with >= min_obs observations."""
+    ids = jnp.clip(m.kf_mp[ref_kf], 0, m.M - 1)
+    live = (m.kf_mp[ref_kf] >= 0) & m.mp_valid[ids]
+    n_obs = jnp.sum(m.mp_obs_kf[ids] >= 0, axis=-1)
+    return jnp.sum(live & (n_obs >= min_obs))
+
+
+@jax.jit
+def _bump_counters(m: MapState, pts, visible, found):
+    """MapPoint found/visible counters (mapPoint.hpp accessors), used by
+    the 0.25 found-ratio culling rule."""
+    ptc = jnp.clip(pts, 0, m.M - 1)
+    ok = pts >= 0
+    vis = m.mp_visible.at[ptc].add(jnp.where(ok & visible, 1, 0), mode="drop")
+    fnd = m.mp_found.at[ptc].add(jnp.where(ok & found, 1, 0), mode="drop")
+    return m._replace(mp_visible=vis, mp_found=fnd)
+
+
+@dataclasses.dataclass
+class SystemRecord:
+    timestamp: float
+    ref_kf: int
+    T_c_ref: np.ndarray
+    lost: bool
+
+
+class SlamSystem:
+    """End-to-end SLAM: tracking + local mapping (+ loop closing when
+    enabled via slam/loop.py)."""
+
+    def __init__(
+        self,
+        cfg: SlamConfig,
+        sensor: Sensor = Sensor.RGBD,
+        enable_mapping: bool = True,
+        enable_loop_closing: bool = True,
+    ):
+        self.cfg = cfg
+        self.sensor = sensor
+        self.cam = camera_intrinsics(cfg)
+        self.tracker = Tracker(cfg)
+        self.enable_mapping = enable_mapping
+        self.enable_loop_closing = enable_loop_closing
+        cap = cfg.capacity
+        self.map = empty_map(
+            cap.max_keyframes, cfg.n_keypoints, cap.max_map_points,
+            cap.max_obs_per_point,
+        )
+        self.inv_sigma2_tab = jnp.asarray(
+            1.0 / level_sigma2(cfg.orb.n_levels, cfg.orb.scale_factor)
+        )
+        # depth threshold in meters: ThDepth baselines (tracking.cpp:62)
+        self.depth_threshold = cfg.depth.th_depth * cfg.camera.bf / cfg.camera.fx
+        self.n_keyframes = 0
+        self.free_kf_slots: List[int] = []
+        self.ref_kf = 0
+        self.frame_id = 0
+        self.frames_since_kf = 0
+        self.records: List[SystemRecord] = []
+        self.localization_only = False
+        self.loop_closer = None
+        if enable_mapping:
+            self.tracker.local_map_hook = self._local_map_hook
+            self.tracker.new_kf_hook = self._insert_keyframe
+        if enable_loop_closing and enable_mapping:
+            from .loop import LoopCloser
+
+            self.loop_closer = LoopCloser(self)
+        self._frame_mpid = None  # (N,) map-point id per current-frame kp
+
+    # ------------------------------------------------------------------
+    # public API (mirrors src/system.hpp)
+    # ------------------------------------------------------------------
+    def track_rgbd(self, timestamp, gray, depth) -> bool:
+        assert self.sensor == Sensor.RGBD, "sensor mismatch (system.cpp:112-115)"
+        ok = self.tracker.track_rgbd(timestamp, gray, depth)
+        self._record(timestamp, ok)
+        self.frame_id += 1
+        return ok
+
+    def track_stereo(self, timestamp, gray_l, gray_r) -> bool:
+        assert self.sensor == Sensor.STEREO, "sensor mismatch (system.cpp:73-76)"
+        ok = self.tracker.track_stereo(timestamp, gray_l, gray_r)
+        self._record(timestamp, ok)
+        self.frame_id += 1
+        return ok
+
+    def activate_localization_mode(self):
+        """Pause mapping; keep tracking (system.cpp:80-87)."""
+        self.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.localization_only = False
+
+    def reset(self):
+        """Clear map + tracker state (system.cpp:96-102, tracking.cpp:150-180)."""
+        cap = self.cfg.capacity
+        self.map = empty_map(
+            cap.max_keyframes, self.cfg.n_keypoints, cap.max_map_points,
+            cap.max_obs_per_point,
+        )
+        self.tracker = Tracker(self.cfg)
+        if self.enable_mapping:
+            self.tracker.local_map_hook = self._local_map_hook
+            self.tracker.new_kf_hook = self._insert_keyframe
+        if self.loop_closer is not None:
+            from .loop import LoopCloser
+
+            self.loop_closer = LoopCloser(self)
+        self.n_keyframes = 0
+        self.free_kf_slots = []
+        self.ref_kf = 0
+        self.frames_since_kf = 0
+        self.records = []
+
+    def shutdown(self):
+        """No threads to join — provided for API parity (system.cpp:176-191)."""
+
+    def tracking_state(self) -> TrackingState:
+        return self.tracker.state
+
+    def tracked_map_points(self) -> int:
+        return self.tracker.n_inliers
+
+    def map_changed_index(self) -> int:
+        """Big-change counter analog (map.hpp:46-47)."""
+        return self.n_keyframes
+
+    # ------------------------------------------------------------------
+    # trajectory export (src/system.cpp:193-261)
+    # ------------------------------------------------------------------
+    def _kf_pose_with_tree_walk(self, kf: int, kf_pose, kf_valid, parent, T_c2p):
+        """Walk up the spanning tree past culled keyframes, composing the
+        frozen child-to-parent transforms (system.cpp:209-223)."""
+        T_acc = np.eye(4)
+        hops = 0
+        while kf >= 0 and not kf_valid[kf] and hops < kf_pose.shape[0]:
+            T_acc = T_acc @ T_c2p[kf]
+            kf = int(parent[kf])
+            hops += 1
+        if kf < 0:
+            return None
+        return T_acc @ kf_pose[kf]
+
+    def save_trajectory_tum(self, path: str):
+        """Full per-frame trajectory relative to the first keyframe."""
+        m = self.map
+        kf_pose = np.asarray(m.kf_pose)
+        kf_valid = np.asarray(m.kf_valid)
+        parent = np.asarray(m.parent)
+        T_c2p = np.asarray(m.kf_T_c2p)
+        first = int(np.argmax(kf_valid))
+        T_first_inv = np.linalg.inv(kf_pose[first])
+        ts, poses, lost = [], [], []
+        for rec in self.records:
+            if rec.lost or rec.ref_kf < 0:
+                continue
+            T_ref = self._kf_pose_with_tree_walk(
+                rec.ref_kf, kf_pose, kf_valid, parent, T_c2p
+            )
+            if T_ref is None:
+                continue
+            ts.append(rec.timestamp)
+            poses.append(rec.T_c_ref @ T_ref @ T_first_inv)
+            lost.append(False)
+        write_tum_trajectory(path, ts, poses, lost, precision=9)
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        m = self.map
+        kf_valid = np.asarray(m.kf_valid)
+        kf_pose = np.asarray(m.kf_pose)
+        ts = np.asarray(m.kf_timestamp)
+        order = np.argsort(np.asarray(m.kf_frame_id))
+        sel = [k for k in order if kf_valid[k]]
+        write_tum_trajectory(
+            path, [float(ts[k]) for k in sel], [kf_pose[k] for k in sel],
+            precision=7,
+        )
+
+    # ------------------------------------------------------------------
+    # internals
+    # ------------------------------------------------------------------
+    def _record(self, timestamp, ok):
+        if not self.records or self.records[-1].timestamp != timestamp:
+            # tracking failed before any hook ran
+            self.records.append(
+                SystemRecord(timestamp, -1 if not self.n_keyframes else self.ref_kf,
+                             np.eye(4), not ok)
+            )
+        self.frames_since_kf += 1
+
+    def _local_map_hook(self, tracker: Tracker, timestamp, feats) -> bool:
+        """Tracking::trackLocalMap (tracking.cpp:605-637) + keyframe
+        decision/creation + the synchronous mapping pipeline."""
+        cfg = self.cfg
+        T_pred = tracker.new_T
+        cap = self.cfg.capacity.tracking_points
+        pts, pos, desc, normal, dmax, dmin, valid = _select_tracking_set(
+            self.map, self.ref_kf, cap
+        )
+        assign, _ = match_local_points(
+            self.cam, feats, T_pred, pos, desc, normal, dmax, dmin, valid,
+            th=1.0, n_levels=cfg.orb.n_levels, scale_factor=cfg.orb.scale_factor,
+        )
+        po = PoseObservations(
+            p_w=pos[jnp.clip(assign, 0, cap - 1)],
+            obs_uvr=jnp.concatenate([feats.uv, feats.right_u[:, None]], -1),
+            inv_sigma2=self.inv_sigma2_tab[feats.octave],
+            has_stereo=feats.right_u >= 0,
+            valid=(assign >= 0) & feats.valid,
+        )
+        T_opt, inliers, n_in = optimize_pose(
+            self.cam, T_pred, po,
+            episodes=cfg.optim.pose_episodes,
+            iters_per_episode=cfg.optim.pose_iters_per_episode,
+        )
+        n_in = int(n_in)
+        threshold = cfg.tracking.min_matches_local_map
+        if n_in < threshold:
+            return False
+        tracker.new_T = T_opt
+        tracker.n_inliers = n_in
+
+        # Per-keypoint map-point ids of this frame (inliers only).
+        mpid = jnp.where(
+            inliers, pts[jnp.clip(assign, 0, cap - 1)], -1
+        )
+        self._frame_mpid = mpid
+        # found/visible counters for the matched subset.
+        matched_pts = jnp.where(assign >= 0, assign, -1)
+        self.map = _bump_counters(
+            self.map,
+            jnp.where(matched_pts >= 0, pts[jnp.clip(matched_pts, 0, cap - 1)], -1),
+            visible=jnp.ones_like(assign, dtype=bool),
+            found=inliers,
+        )
+        # Let the tracker's motion model use optimized map-point
+        # positions where available, depth backprojection elsewhere.
+        lm_pos, lm_valid = landmark_positions(self.cam, feats, T_opt)
+        mp_pos_assigned = self.map.mp_pos[jnp.clip(mpid, 0, self.map.M - 1)]
+        tracker.pending_landmarks = (
+            jnp.where((mpid >= 0)[:, None], mp_pos_assigned, lm_pos),
+            lm_valid | (mpid >= 0),
+        )
+
+        # record trajectory relative to the reference keyframe
+        T_ref = self.map.kf_pose[self.ref_kf]
+        T_c_ref = np.asarray(T_opt @ jnp.linalg.inv(T_ref))
+        self.records.append(
+            SystemRecord(timestamp, self.ref_kf, T_c_ref, False)
+        )
+
+        if not self.localization_only and self._need_new_keyframe(feats, n_in):
+            self._insert_keyframe(timestamp, feats, T_opt, matched_mp=mpid)
+        return True
+
+    def _rebase_records(self, valid_before):
+        """Eagerly migrate frame records off culled reference keyframes.
+
+        Keyframe slots are REUSED after culling, so the lazy spanning-tree
+        walk of the reference writer (system.cpp:209-223) would read a
+        different keyframe's pose.  Instead, the moment a keyframe is
+        culled we fold its frozen child-to-parent transform into every
+        record that references it: T_c_ref <- T_c_ref @ T_c2p, ref <-
+        parent.  Same math, eager instead of lazy, slot-reuse-safe.
+        """
+        valid_after = np.asarray(self.map.kf_valid)
+        culled = set(np.where(valid_before & ~valid_after)[0].tolist())
+        if not culled:
+            return
+        T_c2p = np.asarray(self.map.kf_T_c2p)
+        parent = np.asarray(self.map.parent)
+        if self.ref_kf in culled:
+            p = int(parent[self.ref_kf])
+            if p >= 0:
+                self.ref_kf = p
+        for rec in self.records:
+            hops = 0
+            while rec.ref_kf in culled and hops < len(parent):
+                rec.T_c_ref = rec.T_c_ref @ T_c2p[rec.ref_kf]
+                rec.ref_kf = int(parent[rec.ref_kf])
+                hops += 1
+            if rec.ref_kf < 0:
+                rec.lost = True
+
+    def _need_new_keyframe(self, feats: FrameFeatures, n_in: int) -> bool:
+        """Tracking::needNewKeyFrame (tracking.cpp:740-796), exact gates:
+        minObs/refRatio relaxed while the map has < 3 keyframes, the
+        close-point rule, cond1a/1b/1c and cond2.  cond1b's "local mapper
+        idle" is always true here (mapping is synchronous)."""
+        cfg = self.cfg
+        if self.n_keyframes == 0:
+            return True
+        if self.localization_only:
+            return False
+        if self.n_keyframes < 2:
+            min_obs, ref_ratio = 2, 0.4
+        elif self.n_keyframes == 2:
+            min_obs, ref_ratio = 2, cfg.tracking.kf_ref_ratio
+        else:
+            min_obs, ref_ratio = 3, cfg.tracking.kf_ref_ratio
+        ref_tracked = int(_count_ref_tracked(self.map, self.ref_kf, min_obs))
+        # close-point bookkeeping (tracking.cpp:762-775)
+        depth = np.asarray(feats.depth)
+        mpid = np.asarray(self._frame_mpid)
+        close = (depth > 0) & (depth <= self.depth_threshold)
+        tracked_close = int((close & (mpid >= 0)).sum())
+        untracked_close = int((close & (mpid < 0)).sum())
+        need_close = (tracked_close < cfg.tracking.kf_close_tracked_max) and (
+            untracked_close > cfg.tracking.kf_close_untracked_min
+        )
+        max_frames = max(1, int(self.cfg.camera.fps))
+        c1a = self.frames_since_kf >= max_frames
+        c1b = True  # minFrames=0 and mapping always idle (synchronous)
+        c1c = n_in < ref_tracked * 0.25 or need_close
+        c2 = n_in > 15 and (n_in < ref_tracked * ref_ratio or need_close)
+        return (c1a or c1b or c1c) and c2
+
+    def _alloc_kf_slot(self) -> Optional[int]:
+        kf_valid = np.asarray(self.map.kf_valid)
+        free = np.where(~kf_valid)[0]
+        if len(free) == 0:
+            return None
+        return int(free[0])
+
+    def _insert_keyframe(self, timestamp, feats, T_cw, matched_mp=None, force=False):
+        cfg = self.cfg
+        slot = self._alloc_kf_slot()
+        if slot is None:
+            return
+        if matched_mp is None:
+            matched_mp = -jnp.ones((feats.n,), jnp.int32)
+        # Map initialization seeds a point for EVERY keypoint with depth
+        # (tracking.cpp:343); later keyframes seed only close points
+        # (tracking.cpp:804-837).
+        depth_limit = 1e9 if self.n_keyframes == 0 else self.depth_threshold
+        self.map, _ = insert_keyframe(
+            self.map, slot, self.frame_id, timestamp, feats, T_cw, matched_mp,
+            self.cam, jnp.float32(depth_limit), jnp.int32(self.n_keyframes),
+            scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels,
+        )
+        self.n_keyframes += 1
+        self.ref_kf = slot
+        self.frames_since_kf = 0
+
+        if self.n_keyframes > 2:
+            # Synchronous local-mapping pipeline (localMapping.cpp:8-53).
+            self.map = cull_map_points(self.map, jnp.int32(self.n_keyframes))
+            from .triangulate import create_new_points, fuse_neighbors
+
+            self.map = create_new_points(
+                self.map, slot, self.n_keyframes, self.cam,
+                cfg.orb.scale_factor, cfg.orb.n_levels,
+            )
+            self.map = fuse_neighbors(
+                self.map, slot, self.cam, cfg.orb.scale_factor, cfg.orb.n_levels
+            )
+            self.map = local_bundle_adjust(
+                self.map, slot, self.cam, self.inv_sigma2_tab,
+                iters1=cfg.optim.local_ba_iters_1,
+                iters2=cfg.optim.local_ba_iters_2,
+                win_cap=cfg.capacity.local_ba_window_kf,
+                fix_cap=cfg.capacity.local_ba_fixed_kf,
+                pts_cap=cfg.capacity.local_ba_max_points,
+            )
+            before = np.asarray(self.map.kf_valid).copy()
+            self.map = cull_keyframes(
+                self.map, slot, jnp.float32(self.depth_threshold)
+            )
+            self._rebase_records(before)
+        if self.loop_closer is not None and self.n_keyframes > 2:
+            self.loop_closer.process(slot)

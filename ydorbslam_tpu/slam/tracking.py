@@ -106,6 +106,7 @@ class Tracker:
         self.records: List[FrameRecord] = []
         self.local_map_hook = None  # set by System when mapping runs
         self.new_kf_hook = None
+        self.pending_landmarks = None  # (p_w, valid) supplied by the hook
         self.n_inliers = 0
 
     # -- per-sensor frame ingestion ------------------------------------
@@ -158,9 +159,15 @@ class Tracker:
 
     def _adopt_frame(self, feats: FrameFeatures):
         self.last_feats = feats
-        self.last_lms, self.last_lms_valid = landmark_positions(
-            self.cam, feats, self.T_cw
-        )
+        if self.pending_landmarks is not None:
+            # The local-map hook supplies map-point positions where the
+            # frame was matched to the map (higher quality than raw depth).
+            self.last_lms, self.last_lms_valid = self.pending_landmarks
+            self.pending_landmarks = None
+        else:
+            self.last_lms, self.last_lms_valid = landmark_positions(
+                self.cam, feats, self.T_cw
+            )
 
     def _track(self, timestamp: float, feats: FrameFeatures):
         cfg = self.cfg

@@ -1,0 +1,301 @@
+"""New-point triangulation and neighbor fusion for local mapping.
+
+Replaces ``LocalMapping::createNewMapPoints`` (src/localMapping.cpp:
+109-252: epipolar-guided matching against covisible neighbors, SVD
+triangulation, parallax/positive-depth/reprojection/scale checks) and
+``searchInNeighbors`` + ``OrbMatcher::fuseByProjection``
+(src/localMapping.cpp:253-294, src/orbMatcher.cpp:682-745).
+
+TPU shape: per neighbor pair the epipolar search is one masked (N, N)
+Hamming matrix whose mask is the point-to-epipolar-line distance test;
+triangulation is a vmapped 4x4 SVD over all candidate pairs at once.
+The neighbor loop is a short static Python loop (top-k covisible).
+
+Fusion simplification (documented deviation): when two map points claim
+the same keypoint, the reference transfers every observation of the
+loser onto the winner (MapPoint::beReplacedBy, src/mapPoint.cpp:128-156);
+here the winner absorbs the CURRENT keyframe slot and the loser keeps
+its other observations, subject to later culling — same steady state,
+fewer scatter conflicts.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.camera import CameraIntrinsics
+from ..ops.hamming import INVALID_DIST, masked_distance_matrix
+from .map_state import MapState, add_observations, alloc_slots, refresh_points
+from .matchers import predict_scale_level, project_sources
+
+N_TRIANG_NEIGHBORS = 10  # stereo neighbor count (localMapping.cpp:114)
+CHI2_MONO = 5.991
+CHI2_STEREO = 7.815
+
+
+def _camera_center(T_cw):
+    return -T_cw[:3, :3].T @ T_cw[:3, 3]
+
+
+def _fundamental_matrix(cam: CameraIntrinsics, T1_cw, T2_cw):
+    """F21 such that x2^T F21 x1 = 0 (pixels), from relative pose 1->2.
+
+    LocalMapping::computeFundamentalMatrix_first2second
+    (localMapping.cpp:295-306).
+    """
+    T21 = T2_cw @ jnp.linalg.inv(T1_cw)
+    R, t = T21[:3, :3], T21[:3, 3]
+    tx = jnp.array(
+        [[0.0, -t[2], t[1]], [t[2], 0.0, -t[0]], [-t[1], t[0], 0.0]]
+    )
+    K = jnp.array(
+        [[cam.fx, 0.0, cam.cx], [0.0, cam.fy, cam.cy], [0.0, 0.0, 1.0]]
+    )
+    Kinv = jnp.linalg.inv(K)
+    return Kinv.T @ tx @ R @ Kinv
+
+
+def _triangulate_pairs(cam, T1, T2, uv1, uv2):
+    """Mid-point-free linear triangulation: vmapped 4x4 SVD
+    (localMapping.cpp:176-199)."""
+    K = jnp.array(
+        [[cam.fx, 0.0, cam.cx], [0.0, cam.fy, cam.cy], [0.0, 0.0, 1.0]]
+    )
+    P1 = K @ T1[:3, :4]
+    P2 = K @ T2[:3, :4]
+
+    def one(u1, u2):
+        A = jnp.stack(
+            [
+                u1[0] * P1[2] - P1[0],
+                u1[1] * P1[2] - P1[1],
+                u2[0] * P2[2] - P2[0],
+                u2[1] * P2[2] - P2[1],
+            ]
+        )
+        _, _, vt = jnp.linalg.svd(A)
+        X = vt[-1]
+        return X[:3] / jnp.where(jnp.abs(X[3]) > 1e-9, X[3], 1e-9)
+
+    return jax.vmap(one)(uv1, uv2)
+
+
+@functools.partial(jax.jit, static_argnames=("scale_factor", "n_levels"))
+def _triangulate_with_neighbor(
+    m: MapState, kf1, kf2, kf_count, cam: CameraIntrinsics,
+    scale_factor: float, n_levels: int,
+) -> MapState:
+    """Epipolar search + triangulation between keyframes kf1 (new) and kf2."""
+    sf = scale_factor ** jnp.arange(n_levels, dtype=jnp.float32)
+    sigma2 = sf * sf
+    T1, T2 = m.kf_pose[kf1], m.kf_pose[kf2]
+    c1, c2 = _camera_center(T1), _camera_center(T2)
+    baseline = jnp.linalg.norm(c1 - c2)
+
+    # Only keypoints without a map point participate (localMapping.cpp:128).
+    free1 = m.kf_kp_valid[kf1] & (m.kf_mp[kf1] < 0)
+    free2 = m.kf_kp_valid[kf2] & (m.kf_mp[kf2] < 0)
+
+    uv1, uv2 = m.kf_uv[kf1], m.kf_uv[kf2]
+    F21 = _fundamental_matrix(cam, T1, T2)
+    x1h = jnp.concatenate([uv1, jnp.ones((m.N, 1))], -1)  # (N,3)
+    lines = x1h @ F21.T  # (N,3) epipolar lines in image 2
+    num = jnp.abs(
+        lines[:, None, 0] * uv2[None, :, 0]
+        + lines[:, None, 1] * uv2[None, :, 1]
+        + lines[:, None, 2]
+    )
+    den = jnp.sqrt(lines[:, 0] ** 2 + lines[:, 1] ** 2)[:, None]
+    epi_dist2 = (num / jnp.maximum(den, 1e-9)) ** 2
+    # 3.84 sigma^2 gate at the matched keypoint's octave
+    # (orbMatcher.cpp:808-819).
+    epi_ok = epi_dist2 < 3.84 * sigma2[m.kf_octave[kf2]][None, :]
+    oct_ok = jnp.abs(m.kf_octave[kf1][:, None] - m.kf_octave[kf2][None, :]) <= 1
+
+    d = masked_distance_matrix(
+        m.kf_desc[kf1], m.kf_desc[kf2], free1, free2, epi_ok & oct_ok
+    )
+    best2 = jnp.argmin(d, axis=1)
+    bestd = jnp.take_along_axis(d, best2[:, None], axis=1)[:, 0]
+    matched = bestd <= 50  # TH_LOW (orbMatcher.cpp:8)
+
+    uv2m = uv2[best2]
+    X = _triangulate_pairs(cam, T1, T2, uv1, uv2m)
+
+    # Checks (localMapping.cpp:200-244): positive depth both views,
+    # reprojection chi2 both views, scale consistency.
+    def checks(X):
+        pc1 = T1[:3, :3] @ X.T + T1[:3, 3:4]
+        pc2 = T2[:3, :3] @ X.T + T2[:3, 3:4]
+        z1, z2 = pc1[2], pc2[2]
+        u1p = cam.fx * pc1[0] / jnp.maximum(z1, 1e-6) + cam.cx
+        v1p = cam.fy * pc1[1] / jnp.maximum(z1, 1e-6) + cam.cy
+        u2p = cam.fx * pc2[0] / jnp.maximum(z2, 1e-6) + cam.cx
+        v2p = cam.fy * pc2[1] / jnp.maximum(z2, 1e-6) + cam.cy
+        e1 = (u1p - uv1[:, 0]) ** 2 + (v1p - uv1[:, 1]) ** 2
+        e2 = (u2p - uv2m[:, 0]) ** 2 + (v2p - uv2m[:, 1]) ** 2
+        ok = (z1 > 0) & (z2 > 0)
+        ok &= e1 <= CHI2_MONO * sigma2[m.kf_octave[kf1]]
+        ok &= e2 <= CHI2_MONO * sigma2[m.kf_octave[kf2][best2]]
+        # scale consistency
+        d1 = jnp.linalg.norm(X - c1[None], axis=-1)
+        d2 = jnp.linalg.norm(X - c2[None], axis=-1)
+        ratio_d = d1 / jnp.maximum(d2, 1e-6)
+        ratio_o = (
+            sf[m.kf_octave[kf1]] / sf[m.kf_octave[kf2][best2]]
+        )
+        ok &= (ratio_d < ratio_o * 1.5) & (ratio_d > ratio_o / 1.5)
+        return ok
+
+    good = matched & checks(X) & (baseline > cam.bf / cam.fx)
+
+    # Allocate + write new points with two observations.
+    ranks = jnp.where(good, jnp.cumsum(good) - 1, -1)
+    slots = alloc_slots(m.mp_valid, ranks)
+    created = slots >= 0
+    slot_w = jnp.where(created, slots, m.M - 1)
+    m = m._replace(
+        mp_pos=m.mp_pos.at[slot_w].set(
+            jnp.where(created[:, None], X, m.mp_pos[slot_w]), mode="drop"
+        ),
+        mp_valid=m.mp_valid.at[slot_w].set(
+            jnp.where(created, True, m.mp_valid[slot_w]), mode="drop"
+        ),
+        mp_first_kf=m.mp_first_kf.at[slot_w].set(
+            jnp.where(created, jnp.int32(0) + kf_count, m.mp_first_kf[slot_w]),
+            mode="drop",
+        ),
+        mp_found=m.mp_found.at[slot_w].set(
+            jnp.where(created, 1, m.mp_found[slot_w]), mode="drop"
+        ),
+        mp_visible=m.mp_visible.at[slot_w].set(
+            jnp.where(created, 1, m.mp_visible[slot_w]), mode="drop"
+        ),
+        mp_obs_kf=m.mp_obs_kf.at[slot_w].set(
+            jnp.where(created[:, None], -1, m.mp_obs_kf[slot_w]), mode="drop"
+        ),
+        mp_obs_kp=m.mp_obs_kp.at[slot_w].set(
+            jnp.where(created[:, None], -1, m.mp_obs_kp[slot_w]), mode="drop"
+        ),
+        kf_mp=m.kf_mp.at[kf1, jnp.arange(m.N)].set(
+            jnp.where(created, slots, m.kf_mp[kf1])
+        ).at[kf2, best2].set(
+            jnp.where(created, slots, m.kf_mp[kf2, best2]), mode="drop"
+        ),
+    )
+    idx = jnp.arange(m.N)
+    m = add_observations(m, jnp.where(created, slots, -1), kf1, idx, created)
+    m = add_observations(
+        m, jnp.where(created, slots, -1), kf2, best2, created
+    )
+    m = refresh_points(
+        m, jnp.where(created, slots, -1), scale_factor, n_levels
+    )
+    return m
+
+
+def create_new_points(
+    m: MapState, kf_id: int, kf_count: int, cam: CameraIntrinsics,
+    scale_factor: float, n_levels: int,
+) -> MapState:
+    """Triangulate against the top covisible neighbors (host loop)."""
+    import numpy as np
+
+    w = np.asarray(m.covis[kf_id] * m.kf_valid.astype(jnp.int32))
+    order = np.argsort(-w)
+    neighbors = [int(k) for k in order[:N_TRIANG_NEIGHBORS] if w[k] > 0]
+    for k2 in neighbors:
+        m = _triangulate_with_neighbor(
+            m, kf_id, k2, kf_count, cam, scale_factor, n_levels
+        )
+    return m
+
+
+@functools.partial(jax.jit, static_argnames=("scale_factor", "n_levels"))
+def _fuse_into_kf(
+    m: MapState, src_kf, dst_kf, cam: CameraIntrinsics,
+    scale_factor: float, n_levels: int,
+) -> MapState:
+    """Project src_kf's map points into dst_kf; bind/merge
+    (OrbMatcher::fuseByProjection, orbMatcher.cpp:682-745)."""
+    sf = scale_factor ** jnp.arange(n_levels, dtype=jnp.float32)
+    ids = m.kf_mp[src_kf]  # (N,)
+    idc = jnp.clip(ids, 0, m.M - 1)
+    pt_ok = (ids >= 0) & m.mp_valid[idc]
+    pos = m.mp_pos[idc]
+    T = m.kf_pose[dst_kf]
+    proj = project_sources(cam, T, pos, pt_ok, border=5.0)
+    center = _camera_center(T)
+    dist = jnp.linalg.norm(pos - center[None], axis=-1)
+    band_ok = (dist >= 0.8 * m.mp_min_dist[idc]) & (dist <= 1.2 * m.mp_max_dist[idc])
+    pred = predict_scale_level(dist, 1.2 * m.mp_max_dist[idc], n_levels, scale_factor)
+    radius = 3.0 * sf[pred]
+    # Window + octave mask against dst keypoints.
+    du = jnp.abs(m.kf_uv[dst_kf][None, :, 0] - proj.uv[:, None, 0])
+    dv = jnp.abs(m.kf_uv[dst_kf][None, :, 1] - proj.uv[:, None, 1])
+    pm = (du <= radius[:, None]) & (dv <= radius[:, None])
+    pm &= (m.kf_octave[dst_kf][None, :] >= (pred - 1)[:, None]) & (
+        m.kf_octave[dst_kf][None, :] <= pred[:, None]
+    )
+    # Already-observed points must not rebind (reference skips points
+    # already in the target keyframe).
+    already = jnp.any(m.mp_obs_kf[idc] == dst_kf, axis=-1)
+    valid_src = pt_ok & proj.valid & band_ok & ~already
+    d = masked_distance_matrix(
+        m.mp_desc[idc], m.kf_desc[dst_kf], valid_src, m.kf_kp_valid[dst_kf], pm
+    )
+    best_j = jnp.argmin(d, axis=1)
+    best_d = jnp.take_along_axis(d, best_j[:, None], axis=1)[:, 0]
+    hit = best_d <= 50  # TH_LOW (fuse uses TH_LOW, orbMatcher.cpp:737)
+
+    # Resolve: one source point per dst keypoint (min dist).
+    src_rows = jnp.arange(m.N)
+    only_best = jnp.full_like(d, INVALID_DIST).at[src_rows, best_j].set(
+        jnp.where(hit, best_d, INVALID_DIST)
+    )
+    who = jnp.argmin(only_best, axis=0)  # (N_dst,) src row
+    who_d = jnp.take_along_axis(only_best, who[None, :], axis=0)[0]
+    bound = who_d < INVALID_DIST  # dst kp j gets point ids[who[j]]
+
+    cand_mp = ids[who]  # (N,)
+    existing = m.kf_mp[dst_kf]
+    empty_slot = existing < 0
+    # Case A: empty slot -> bind + add observation.
+    bind = bound & empty_slot
+    new_row = jnp.where(bind, cand_mp, existing)
+    # Case B: occupied -> keep the point with more observations
+    # (mapPoint.cpp:128-156 merge direction), loser keeps its other obs.
+    n_obs = jnp.sum(m.mp_obs_kf >= 0, axis=-1)
+    cand_obs = n_obs[jnp.clip(cand_mp, 0, m.M - 1)]
+    exist_obs = n_obs[jnp.clip(existing, 0, m.M - 1)]
+    replace = bound & ~empty_slot & (cand_obs > exist_obs) & (cand_mp != existing)
+    new_row = jnp.where(replace, cand_mp, new_row)
+    m = m._replace(kf_mp=m.kf_mp.at[dst_kf].set(new_row))
+    m = add_observations(
+        m, jnp.where(bind | replace, cand_mp, -1), dst_kf, jnp.arange(m.N),
+        bind | replace,
+    )
+    m = refresh_points(
+        m, jnp.where(bind | replace, cand_mp, -1), scale_factor, n_levels
+    )
+    return m
+
+
+def fuse_neighbors(
+    m: MapState, kf_id: int, cam: CameraIntrinsics,
+    scale_factor: float, n_levels: int,
+) -> MapState:
+    """Two-way fusion with top covisible neighbors
+    (LocalMapping::searchInNeighbors, localMapping.cpp:253-294)."""
+    import numpy as np
+
+    w = np.asarray(m.covis[kf_id] * m.kf_valid.astype(jnp.int32))
+    order = np.argsort(-w)
+    neighbors = [int(k) for k in order[:N_TRIANG_NEIGHBORS] if w[k] > 0]
+    for k2 in neighbors:
+        m = _fuse_into_kf(m, kf_id, k2, cam, scale_factor, n_levels)
+        m = _fuse_into_kf(m, k2, kf_id, cam, scale_factor, n_levels)
+    return m
