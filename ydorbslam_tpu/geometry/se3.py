@@ -64,8 +64,11 @@ def so3_log(R: jax.Array) -> jax.Array:
     w = vee(R - jnp.swapaxes(R, -1, -2))  # = 2 sin(theta) * axis
     # Recover theta from atan2(|w|, trace): |w| gives sin(theta) directly,
     # which avoids the 1/sin(theta) error amplification of
-    # arccos(trace) near theta = pi (critical in float32).
-    sin_t = 0.5 * jnp.linalg.norm(w, axis=-1)
+    # arccos(trace) near theta = pi (critical in float32).  The epsilon
+    # inside the sqrt keeps the derivative finite at the identity, where
+    # d|w|/dw would otherwise be NaN — this function is differentiated
+    # by the pose-graph optimizer at exactly-satisfied edges.
+    sin_t = 0.5 * jnp.sqrt(jnp.sum(w * w, axis=-1) + _EPS * _EPS)
     theta = jnp.arctan2(sin_t, cos_t)
     # theta/(2 sin theta) with Taylor near 0.
     near_zero = theta < 1e-4

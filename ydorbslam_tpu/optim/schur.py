@@ -36,6 +36,7 @@ from .residuals import (
 
 CHI2_MONO = 5.991
 CHI2_STEREO = 7.815
+_SCHUR_CHUNK = 1024  # point-chunk size for reduced-system assembly
 
 
 class BAProblem(NamedTuple):
@@ -142,14 +143,37 @@ def _lm_iteration(cam, T_all, p_w, prob: BAProblem, active, lam, use_huber):
     BHinv = jnp.einsum("poij,pjk->poik", B, Hpp_inv)  # (P,O,6,3)
 
     # Schur off-diagonal terms: sum over points of BHinv_o B_o'^T at
-    # (cam_o, cam_o').  One segment-sum over P*O*O pairs.
-    pair_val = jnp.einsum("poik,pqjk->poqij", BHinv, B)  # (P,O,O,6,6)
-    cam_i = jnp.broadcast_to(camc.reshape(P, O)[:, :, None], (P, O, O))
-    cam_j = jnp.broadcast_to(camc.reshape(P, O)[:, None, :], (P, O, O))
-    seg = (cam_i * C + cam_j).reshape(-1)
-    S_off = jax.ops.segment_sum(
-        pair_val.reshape(-1, 6, 6), seg, num_segments=C * C
-    ).reshape(C, C, 6, 6)
+    # (cam_o, cam_o').  Chunked over points: the (chunk, O, O, 6, 6)
+    # pair tensor is the peak intermediate, so large-P problems (global
+    # BA over the whole map) scan over point chunks instead of
+    # materializing (P, O, O, 36) at once.
+    cam2d = camc.reshape(P, O)
+    chunk = min(P, _SCHUR_CHUNK)
+    n_chunks = -(-P // chunk)
+    pad = n_chunks * chunk - P
+    if pad:
+        BHinv_c = jnp.pad(BHinv, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        B_c = jnp.pad(B, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        cam_c = jnp.pad(cam2d, ((0, pad), (0, 0)), constant_values=C)
+    else:
+        BHinv_c, B_c, cam_c = BHinv, B, cam2d
+
+    def chunk_sum(args):
+        bh, bb, cc = args
+        pair = jnp.einsum("poik,pqjk->poqij", bh, bb)  # (chunk,O,O,6,6)
+        ci = jnp.broadcast_to(cc[:, :, None], (chunk, O, O))
+        cj = jnp.broadcast_to(cc[:, None, :], (chunk, O, O))
+        seg = jnp.where((ci < C) & (cj < C), ci * C + cj, C * C)
+        return jax.ops.segment_sum(
+            pair.reshape(-1, 6, 6), seg.reshape(-1), num_segments=C * C + 1
+        )[: C * C]
+
+    chunks = (
+        BHinv_c.reshape(n_chunks, chunk, O, 6, 3),
+        B_c.reshape(n_chunks, chunk, O, 6, 3),
+        cam_c.reshape(n_chunks, chunk, O),
+    )
+    S_off = jnp.sum(jax.lax.map(chunk_sum, chunks), axis=0).reshape(C, C, 6, 6)
 
     # Reduced rhs: bs = bc - sum_o BHinv_o bp
     bs_corr = jax.ops.segment_sum(

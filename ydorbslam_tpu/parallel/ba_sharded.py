@@ -23,6 +23,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..geometry.camera import CameraIntrinsics
 from ..geometry.se3 import se3_exp
 from ..optim.residuals import batched_residual_and_jacobians, observation_weights
+from ..optim.schur import BAProblem, CHI2_MONO, CHI2_STEREO, _per_obs, _weights
+from ..optim.residuals import chi2_per_obs, huber_scale
 
 
 def sharded_pose_step(
@@ -61,3 +63,129 @@ def sharded_pose_step(
         out_specs=repl,
     )
     return jax.jit(fn)(T_cw, p_w, obs_uvr, inv_sigma2, valid)
+
+
+def sharded_ba_step(
+    mesh: Mesh,
+    cam: CameraIntrinsics,
+    prob: BAProblem,
+    lam: float = 1e-4,
+):
+    """One Schur-complement BA Gauss-Newton step with the POINT axis of
+    the problem sharded over the mesh — the map-block partition of
+    SURVEY.md §2c P6.
+
+    Per device (its point block stays local):
+      * residuals/Jacobians for local observations,
+      * exact 3x3 landmark marginalization (Hpp^-1, local),
+      * partial camera-diagonal blocks, Schur off-diagonal blocks and
+        reduced rhs — each psum-reduced over ICI,
+      * the (6C, 6C) reduced camera system solved replicated,
+      * landmark back-substitution entirely local (no communication).
+
+    Communication volume per step: O(C^2 * 36) floats for S plus
+    O(C * 6) for the rhs — independent of the number of points, which is
+    what makes the map-block partition scale.
+
+    Returns (T_new (C,4,4) replicated, p_new (P,3) sharded-consistent).
+    """
+    axis = mesh.axis_names[0]
+    C = prob.C
+    O = prob.obs_cam.shape[1]
+
+    def step(T_all, p_w, obs_cam, obs_uvr, obs_is2, obs_st, obs_ok, pt_ok,
+             cam_fixed, cam_valid):
+        Pl = p_w.shape[0]  # local point count
+        local = BAProblem(
+            T_cw=T_all, cam_fixed=cam_fixed, cam_valid=cam_valid,
+            p_w=p_w, pt_valid=pt_ok, obs_cam=obs_cam, obs_uvr=obs_uvr,
+            obs_inv_sigma2=obs_is2, obs_stereo=obs_st, obs_valid=obs_ok,
+        )
+        r, Jc, Jp, z = _per_obs(cam, T_all, p_w, local)
+        w3, mask = _weights(local, z, obs_ok)
+        delta2 = jnp.where(obs_st, CHI2_STEREO, CHI2_MONO)
+        chi2 = chi2_per_obs(r, w3)
+        w = w3 * huber_scale(chi2, delta2)[..., None]
+
+        Hpp = jnp.einsum("poci,poc,pocj->pij", Jp, w, Jp)
+        bp = jnp.einsum("poci,poc,poc->pi", Jp, w, r)
+        Hpp_d = Hpp + lam * jnp.eye(3) * jnp.maximum(
+            jnp.trace(Hpp, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1e-6
+        )
+        Hpp_inv = jnp.where(
+            pt_ok[:, None, None], jnp.linalg.inv(Hpp_d), 0.0
+        )
+
+        camc = jnp.clip(obs_cam, 0, C - 1).reshape(-1)
+        Hcc = jax.lax.psum(
+            jax.ops.segment_sum(
+                jnp.einsum("poci,poc,pocj->poij", Jc, w, Jc).reshape(-1, 6, 6),
+                camc, num_segments=C,
+            ),
+            axis,
+        )
+        bc = jax.lax.psum(
+            jax.ops.segment_sum(
+                jnp.einsum("poci,poc,poc->poi", Jc, w, r).reshape(-1, 6),
+                camc, num_segments=C,
+            ),
+            axis,
+        )
+        B = jnp.einsum("poci,poc,pocj->poij", Jc, w, Jp)
+        BHinv = jnp.einsum("poij,pjk->poik", B, Hpp_inv)
+        pair = jnp.einsum("poik,pqjk->poqij", BHinv, B)
+        ci = jnp.broadcast_to(camc.reshape(Pl, O)[:, :, None], (Pl, O, O))
+        cj = jnp.broadcast_to(camc.reshape(Pl, O)[:, None, :], (Pl, O, O))
+        S_off = jax.lax.psum(
+            jax.ops.segment_sum(
+                pair.reshape(-1, 6, 6), (ci * C + cj).reshape(-1),
+                num_segments=C * C,
+            ),
+            axis,
+        ).reshape(C, C, 6, 6)
+        bs = bc - jax.lax.psum(
+            jax.ops.segment_sum(
+                jnp.einsum("poik,pk->poi", BHinv, bp).reshape(-1, 6),
+                camc, num_segments=C,
+            ),
+            axis,
+        )
+
+        Hcc_d = Hcc + lam * jnp.eye(6) * jnp.maximum(
+            jnp.trace(Hcc, axis1=-2, axis2=-1)[:, None, None] / 6.0, 1e-6
+        )
+        S = -S_off
+        S = S.at[jnp.arange(C), jnp.arange(C)].add(Hcc_d)
+        free = cam_valid & ~cam_fixed
+        fm = free.astype(jnp.float32)
+        S = S * fm[:, None, None, None] * fm[None, :, None, None]
+        S = S.at[jnp.arange(C), jnp.arange(C)].add(
+            jnp.where(free, 0.0, 1.0)[:, None, None] * jnp.eye(6)
+        )
+        bs = bs * fm[:, None]
+        Sd = S.transpose(0, 2, 1, 3).reshape(C * 6, C * 6)
+        dxc = -jnp.linalg.solve(Sd + 1e-8 * jnp.eye(C * 6), bs.reshape(-1)).reshape(
+            C, 6
+        )
+        # Local landmark back-substitution.
+        dxc_obs = dxc[camc.reshape(Pl, O)]
+        corr = jnp.einsum("poij,poi->pj", B, dxc_obs)
+        dxp = -jnp.einsum("pij,pj->pi", Hpp_inv, bp + corr)
+        T_new = jax.vmap(lambda d, T: se3_exp(d) @ T)(dxc, T_all)
+        T_new = jnp.where(free[:, None, None], T_new, T_all)
+        p_new = jnp.where(pt_ok[:, None], p_w + dxp, p_w)
+        return T_new, p_new
+
+    sp = P(axis)
+    rp = P()
+    fn = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(rp, sp, sp, sp, sp, sp, sp, sp, rp, rp),
+        out_specs=(rp, sp),
+    )
+    return jax.jit(fn)(
+        prob.T_cw, prob.p_w, prob.obs_cam, prob.obs_uvr,
+        prob.obs_inv_sigma2, prob.obs_stereo, prob.obs_valid, prob.pt_valid,
+        prob.cam_fixed, prob.cam_valid,
+    )

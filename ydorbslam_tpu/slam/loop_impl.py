@@ -1,0 +1,360 @@
+"""LoopCloser implementation: detection -> Sim3 -> correction -> global BA.
+
+The algorithmic mirror of src/loopClosing.cpp with the thread protocol
+removed (SURVEY.md §2c P3/P7: the transient global-BA thread and
+stop/release handshakes become a synchronous call after correction).
+
+Pipeline per keyframe (gates identical to the reference):
+  detect   — retrieval candidates (slam/retrieval.py) + covisibility
+             consistency across 3 consecutive keyframes
+             (loopClosing.cpp:34-114),
+  verify   — dense descriptor match between the two keyframes' map
+             points (>= 20), vmapped Horn RANSAC, Sim3 refinement
+             (>= 20 inliers), guided projection against the loop
+             group's points (>= 40 total) (loopClosing.cpp:115-228),
+  correct  — propagate the corrected Sim3 to the covisible group and
+             its points, fuse duplicates, optimize the essential graph,
+             run global BA (loopClosing.cpp:229-337, 377-445).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Set, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.sim3 import sim3_to_se3
+from ..optim.horn import ransac_sim3
+from ..optim.pose_graph import (
+    PoseGraphProblem,
+    edge_measurement,
+    optimize_pose_graph,
+)
+from ..optim.schur import BAProblem, bundle_adjust
+from ..optim.sim3_opt import optimize_sim3
+from .map_state import MapState
+from .matchers import match_dense, match_local_points
+from .retrieval import add_keyframe as retr_add
+from .retrieval import bow_histogram, detect_candidates, score_all
+from .triangulate import _fuse_into_kf
+
+
+class LoopCloserImpl:
+    def __init__(self, system, closer):
+        self.system = system
+        self.closer = closer
+        self.key = jax.random.PRNGKey(0)
+
+    # ------------------------------------------------------------------
+    def process(self, kf_id: int) -> bool:
+        sys = self.system
+        cfg = sys.cfg
+        m = sys.map
+        # (keyframe already indexed by System._insert_keyframe)
+        closer = self.closer
+        if sys.n_keyframes - closer.last_loop_kf_count < cfg.loop.min_kfs_between_loops:
+            return False
+        cands = self._detect(kf_id)
+        if not cands:
+            return False
+        for cand in cands:
+            hit = self._compute_sim3(kf_id, cand)
+            if hit is not None:
+                S_12, _ = hit
+                self._correct(kf_id, cand, S_12)
+                closer.last_loop_kf_count = sys.n_keyframes
+                closer.n_loops_closed += 1
+                closer.consistent_groups = []
+                return True
+        return False
+
+    # ------------------------------------------------------------------
+    def _detect(self, kf_id: int) -> List[int]:
+        """Candidates + covisibility-consistency filter
+        (loopClosing.cpp:34-114)."""
+        sys = self.system
+        m = sys.map
+        covis_row = np.asarray(m.covis[kf_id])
+        connected = covis_row > 0
+        connected[kf_id] = True
+        # minScore: lowest BoW score against covisible neighbors
+        # (loopClosing.cpp:51-59).
+        q = bow_histogram(m.kf_desc[kf_id], m.kf_kp_valid[kf_id])
+        _, scores = score_all(sys.retrieval, q)
+        scores = np.asarray(scores)
+        neigh = np.where(connected & (np.arange(m.K) != kf_id))[0]
+        min_score = float(scores[neigh].min()) if len(neigh) else 0.0
+        ids, _ = detect_candidates(
+            sys.retrieval, q, jnp.asarray(connected), m.covis,
+            jnp.float32(min_score), max_out=sys.cfg.capacity.loop_candidates,
+        )
+        ids = [int(i) for i in np.asarray(ids) if i >= 0]
+        # Consistency groups across consecutive keyframes.
+        covis_np = np.asarray(m.covis)
+        prev = self.closer.consistent_groups
+        new_groups: List[Tuple[Set[int], int]] = []
+        consistent_enough: List[int] = []
+        for c in ids:
+            group = set(np.where(covis_np[c] > 0)[0].tolist()) | {c}
+            best = 0
+            for pg, count in prev:
+                if group & pg:
+                    best = max(best, count + 1)
+            new_groups.append((group, best))
+            if best >= self.system.cfg.loop.covisibility_consistency_th:
+                consistent_enough.append(c)
+        self.closer.consistent_groups = new_groups
+        return consistent_enough
+
+    # ------------------------------------------------------------------
+    def _compute_sim3(self, kf1: int, kf2: int):
+        """Geometric verification (loopClosing.cpp:115-228).
+
+        Returns (S_12 mapping kf2-camera points into kf1 camera, total
+        matches) or None.
+        """
+        sys = self.system
+        cfg = sys.cfg
+        m = sys.map
+        # 1. appearance match restricted to keypoints WITH map points
+        has1 = m.kf_kp_valid[kf1] & (m.kf_mp[kf1] >= 0)
+        has2 = m.kf_kp_valid[kf2] & (m.kf_mp[kf2] >= 0)
+        assign, _ = match_dense(
+            m.kf_desc[kf1], has1, m.kf_angle[kf1],
+            m.kf_desc[kf2], has2, m.kf_angle[kf2],
+            max_dist=cfg.matcher.th_low, ratio=cfg.matcher.ratio_reloc,
+        )  # per kf2-keypoint -> kf1-keypoint
+        n_matches = int(jnp.sum(assign >= 0))
+        if n_matches < cfg.loop.min_bow_matches:
+            return None
+        # matched map-point pairs in each camera frame
+        a = jnp.asarray(assign)
+        kp2 = jnp.arange(m.N)
+        kp1 = jnp.clip(a, 0, m.N - 1)
+        ok = a >= 0
+        mp1 = m.kf_mp[kf1, kp1]
+        mp2 = m.kf_mp[kf2, kp2]
+        ok &= (mp1 >= 0) & (mp2 >= 0)
+        ok &= m.mp_valid[jnp.clip(mp1, 0, m.M - 1)]
+        ok &= m.mp_valid[jnp.clip(mp2, 0, m.M - 1)]
+        T1, T2 = m.kf_pose[kf1], m.kf_pose[kf2]
+        p1 = m.mp_pos[jnp.clip(mp1, 0, m.M - 1)] @ T1[:3, :3].T + T1[:3, 3]
+        p2 = m.mp_pos[jnp.clip(mp2, 0, m.M - 1)] @ T2[:3, :3].T + T2[:3, 3]
+        sf2 = (cfg.orb.scale_factor ** jnp.arange(cfg.orb.n_levels)) ** 2
+        s2_1 = sf2[m.kf_octave[kf1, kp1]]
+        s2_2 = sf2[m.kf_octave[kf2, kp2]]
+        # 2. Horn RANSAC (scale fixed: stereo/RGB-D, loopClosing.cpp:132)
+        self.key, sub = jax.random.split(self.key)
+        res = ransac_sim3(
+            sub, sys.cam, p1, p2, s2_1, s2_2, ok,
+            n_hypotheses=cfg.capacity.ransac_batch,
+            min_inliers=cfg.loop.ransac_min_inliers,
+        )
+        if not bool(res.ok):
+            return None
+        # 3. Sim3 refinement on inlier observations (optimizeSim3)
+        obs1 = m.kf_uv[kf1, kp1]
+        obs2 = m.kf_uv[kf2, kp2]
+        S_ref, inl, n_in = optimize_sim3(
+            sys.cam, res.S_12, p1, p2, obs1, obs2,
+            1.0 / s2_1, 1.0 / s2_2, res.inliers,
+            iters1=cfg.optim.sim3_iters, iters2=10,
+        )
+        if int(n_in) < cfg.loop.min_sim3_inliers:
+            return None
+        # 4. guided projection against the loop group's map points
+        # (searchByProjectionInSim, >= 40 total, loopClosing.cpp:196-227)
+        total = self._count_guided_matches(kf1, kf2, S_ref)
+        if total < cfg.loop.min_total_matches:
+            return None
+        return S_ref, total
+
+    def _count_guided_matches(self, kf1: int, kf2: int, S_12) -> int:
+        """Project the loop group's points into kf1 through the corrected
+        pose and count descriptor hits."""
+        sys = self.system
+        m = sys.map
+        covis_np = np.asarray(m.covis[kf2])
+        group = [kf2] + [int(k) for k in np.argsort(-covis_np)[:10] if covis_np[k] > 0]
+        ids = np.unique(
+            np.concatenate([np.asarray(m.kf_mp[k]) for k in group])
+        )
+        ids = ids[ids >= 0][: sys.cfg.capacity.tracking_points]
+        pad = sys.cfg.capacity.tracking_points - len(ids)
+        idsp = np.pad(ids, (0, pad), constant_values=-1)
+        idc = jnp.clip(jnp.asarray(idsp), 0, m.M - 1)
+        valid = (jnp.asarray(idsp) >= 0) & m.mp_valid[idc]
+        # corrected kf1 pose: S_cw = S_12 @ T_2w
+        S_cw = S_12 @ m.kf_pose[kf2]
+        T_cw = sim3_to_se3(S_cw)
+        from ..ops.extractor import FrameFeatures
+
+        feats = FrameFeatures(
+            uv=m.kf_uv[kf1], uv_raw=m.kf_uv[kf1],
+            response=jnp.zeros((m.N,)), octave=m.kf_octave[kf1],
+            angle=m.kf_angle[kf1], desc=m.kf_desc[kf1],
+            right_u=m.kf_right_u[kf1], depth=m.kf_depth[kf1],
+            valid=m.kf_kp_valid[kf1],
+        )
+        assign, _ = match_local_points(
+            sys.cam, feats, T_cw,
+            m.mp_pos[idc], m.mp_desc[idc], m.mp_normal[idc],
+            m.mp_max_dist[idc], m.mp_min_dist[idc], valid,
+            th=2.0, n_levels=sys.cfg.orb.n_levels,
+            scale_factor=sys.cfg.orb.scale_factor,
+        )
+        return int(jnp.sum(assign >= 0))
+
+    # ------------------------------------------------------------------
+    def _correct(self, kf1: int, kf2: int, S_12) -> None:
+        """Loop correction (loopClosing.cpp:229-337) + global BA."""
+        sys = self.system
+        m = sys.map
+        cfg = sys.cfg
+        K = m.K
+        old_poses = m.kf_pose  # snapshot (non-corrected)
+
+        # Corrected Sim3 for kf1 and its covisible group.
+        S_cw_corr = S_12 @ m.kf_pose[kf2]
+        group = np.where((np.asarray(m.covis[kf1]) > 0) & np.asarray(m.kf_valid))[0]
+        group = np.unique(np.concatenate([group, [kf1]]))
+        T_old_kf1_inv = jnp.linalg.inv(old_poses[kf1])
+
+        corrected = {}
+        for k in group:
+            T_k_kf1 = old_poses[k] @ T_old_kf1_inv
+            corrected[int(k)] = T_k_kf1 @ S_cw_corr
+
+        # Move the group's map points through old^-1 then corrected pose
+        # (loopClosing.cpp:263-287).
+        pts = np.unique(np.concatenate([np.asarray(m.kf_mp[k]) for k in group]))
+        pts = pts[pts >= 0]
+        if len(pts):
+            ptsj = jnp.asarray(pts)
+            ref = np.asarray(m.mp_ref_kf)[pts]
+            # use each point's strongest group keyframe: fall back to kf1
+            use_kf = np.where(np.isin(ref, group), ref, kf1)
+            S_old = old_poses[jnp.asarray(use_kf)]
+            S_new = jnp.stack([corrected[int(k)] for k in use_kf])
+            p = m.mp_pos[ptsj]
+            p_cam = jnp.einsum("nij,nj->ni", S_old[:, :3, :3], p) + S_old[:, :3, 3]
+            S_new_inv = jnp.linalg.inv(S_new)
+            p_corr = (
+                jnp.einsum("nij,nj->ni", S_new_inv[:, :3, :3], p_cam)
+                + S_new_inv[:, :3, 3]
+            )
+            m = m._replace(mp_pos=m.mp_pos.at[ptsj].set(p_corr))
+
+        # Write corrected keyframe poses (as SE3).
+        kf_pose = m.kf_pose
+        for k, S in corrected.items():
+            kf_pose = kf_pose.at[k].set(sim3_to_se3(S))
+        m = m._replace(kf_pose=kf_pose, loop_edge=m.loop_edge.at[kf1].set(kf2))
+        sys.map = m
+
+        # Fuse loop-side points into the corrected group (searchAndFuse).
+        for k in [int(kf1)] + [int(g) for g in group[:5] if g != kf1]:
+            sys.map = _fuse_into_kf(
+                sys.map, kf2, k, sys.cam, cfg.orb.scale_factor, cfg.orb.n_levels
+            )
+
+        # Essential graph over all keyframes.
+        sys.map = self._essential_graph(sys.map, kf1, kf2, old_poses, corrected)
+
+        # Global BA (10 iterations, loopClosing.cpp:380).
+        sys.map = self._global_ba(sys.map)
+        # Trajectory records referenced to pre-correction keyframe poses
+        # stay valid: T_c_ref composes with the corrected keyframe pose.
+
+    def _essential_graph(self, m: MapState, kf1, kf2, old_poses, corrected):
+        cfg = self.system.cfg
+        K = m.K
+        covis = np.asarray(m.covis)
+        kf_valid = np.asarray(m.kf_valid)
+        parent = np.asarray(m.parent)
+        loop_edge = np.asarray(m.loop_edge)
+        ei, ej, meas, w = [], [], [], []
+        old_np = old_poses
+
+        def add_edge(i, j, weight, use_corrected=False):
+            if i < 0 or j < 0 or i == j or not (kf_valid[i] and kf_valid[j]):
+                return
+            if use_corrected:
+                Si = corrected.get(i, old_np[i])
+                Sj = corrected.get(j, old_np[j])
+            else:
+                Si, Sj = old_np[i], old_np[j]
+            ei.append(i)
+            ej.append(j)
+            meas.append(np.asarray(edge_measurement(Si, Sj)))
+            w.append(weight)
+
+        for i in range(K):
+            if not kf_valid[i]:
+                continue
+            add_edge(i, int(parent[i]), 1.0)
+            if loop_edge[i] >= 0:
+                add_edge(i, int(loop_edge[i]), 1.0, use_corrected=(i == kf1))
+        # Strong-covisibility edges (weight >= 100, optimizer.cpp:608).
+        strong = np.argwhere(
+            np.triu(covis, 1) >= cfg.optim.essential_min_covis_weight
+        )
+        for i, j in strong:
+            add_edge(int(i), int(j), 1.0)
+        if not ei:
+            return m
+        E = len(ei)
+        # Current (post-correction) poses as initial values.
+        prob = PoseGraphProblem(
+            S_iw=m.kf_pose,
+            fixed=jnp.zeros(K, bool).at[kf2].set(True),
+            vertex_valid=m.kf_valid,
+            edge_i=jnp.asarray(ei, jnp.int32),
+            edge_j=jnp.asarray(ej, jnp.int32),
+            edge_meas=jnp.asarray(np.stack(meas).astype(np.float32)),
+            edge_valid=jnp.ones(E, bool),
+            edge_weight=jnp.ones(E),
+        )
+        S_opt = optimize_pose_graph(
+            prob, iters=cfg.optim.essential_graph_iters, fix_scale=True
+        )
+        # Map points follow their reference keyframe's correction
+        # (optimizer.cpp:630-661).
+        ref = jnp.clip(m.mp_ref_kf, 0, K - 1)
+        S_old_ref = m.kf_pose[ref]
+        S_new_ref = S_opt[ref]
+        p_cam = (
+            jnp.einsum("nij,nj->ni", S_old_ref[:, :3, :3], m.mp_pos)
+            + S_old_ref[:, :3, 3]
+        )
+        S_inv = jnp.linalg.inv(S_new_ref)
+        p_new = (
+            jnp.einsum("nij,nj->ni", S_inv[:, :3, :3], p_cam) + S_inv[:, :3, 3]
+        )
+        mp_pos = jnp.where(
+            (m.mp_valid & (m.mp_ref_kf >= 0))[:, None], p_new, m.mp_pos
+        )
+        T_new = jax.vmap(sim3_to_se3)(S_opt)
+        kf_pose = jnp.where(m.kf_valid[:, None, None], T_new, m.kf_pose)
+        return m._replace(kf_pose=kf_pose, mp_pos=mp_pos)
+
+    def _global_ba(self, m: MapState) -> MapState:
+        """Full-map BA (globalBundleAdjust, optimizer.cpp:353-357)."""
+        sys = self.system
+        cfg = sys.cfg
+        from .mapping import apply_local_ba, build_local_ba
+
+        K = m.K
+        win = jnp.where(m.kf_valid, jnp.arange(K, dtype=jnp.int32), -1)
+        fixed = -jnp.ones((1,), jnp.int32)
+        pts_cap = cfg.capacity.local_ba_max_points * 4
+        member = m.mp_valid
+        order = jnp.where(member, jnp.arange(m.M), m.M)
+        pts = jnp.sort(order)[:pts_cap].astype(jnp.int32)
+        pts = jnp.where(pts < m.M, pts, -1)
+        prob = build_local_ba(m, win, fixed, pts, sys.inv_sigma2_tab)
+        T_new, p_new, outlier = bundle_adjust(
+            sys.cam, prob, iters1=0, iters2=cfg.optim.global_ba_iters
+        )
+        return apply_local_ba(m, win, pts, T_new[: K], p_new, outlier)

@@ -146,6 +146,10 @@ class SlamSystem:
         if enable_mapping:
             self.tracker.local_map_hook = self._local_map_hook
             self.tracker.new_kf_hook = self._insert_keyframe
+            self.tracker.reloc_hook = self._relocalize
+        from .retrieval import empty_index
+
+        self.retrieval = empty_index(cap.max_keyframes)
         if enable_loop_closing and enable_mapping:
             from .loop import LoopCloser
 
@@ -187,6 +191,10 @@ class SlamSystem:
         if self.enable_mapping:
             self.tracker.local_map_hook = self._local_map_hook
             self.tracker.new_kf_hook = self._insert_keyframe
+            self.tracker.reloc_hook = self._relocalize
+        from .retrieval import empty_index
+
+        self.retrieval = empty_index(cap.max_keyframes)
         if self.loop_closer is not None:
             from .loop import LoopCloser
 
@@ -352,6 +360,11 @@ class SlamSystem:
         culled = set(np.where(valid_before & ~valid_after)[0].tolist())
         if not culled:
             return
+        # Keep the retrieval index in sync (KeyFrameDatabase::erase).
+        from .retrieval import remove_keyframe
+
+        for k in culled:
+            self.retrieval = remove_keyframe(self.retrieval, k)
         T_c2p = np.asarray(self.map.kf_T_c2p)
         parent = np.asarray(self.map.parent)
         if self.ref_kf in culled:
@@ -366,6 +379,97 @@ class SlamSystem:
                 hops += 1
             if rec.ref_kf < 0:
                 rec.lost = True
+
+    def _relocalize(self, tracker: Tracker, timestamp, feats) -> bool:
+        """Tracking::relocalize (tracking.cpp:638-739): retrieval
+        candidates -> dense appearance match (>= 15) -> vmapped PnP
+        RANSAC -> pose-only LM -> accept at >= 50 inliers.
+
+        The reference's alternating 5-iteration RANSAC rounds with
+        progressively widened projection search (tracking.cpp:667-732)
+        collapse into one 256-hypothesis batch plus the LM episodes —
+        same gates, one device program per candidate.
+        """
+        import jax.random as jrandom
+
+        from ..geometry.camera import backproject
+        from ..optim.pnp import ransac_pose_3d3d
+        from .matchers import match_dense as _match_dense
+        from .retrieval import bow_histogram, detect_candidates
+
+        cfg = self.cfg
+        m = self.map
+        if self.n_keyframes == 0:
+            return False
+        q = bow_histogram(feats.desc, feats.valid)
+        ids, _ = detect_candidates(
+            self.retrieval, q, jnp.zeros((m.K,), bool), m.covis,
+            jnp.float32(-1.0), max_out=cfg.capacity.reloc_candidates,
+        )
+        if not hasattr(self, "_reloc_key"):
+            self._reloc_key = jax.random.PRNGKey(7)
+        for cand in [int(i) for i in np.asarray(ids) if i >= 0]:
+            has_mp = m.kf_kp_valid[cand] & (m.kf_mp[cand] >= 0)
+            assign, _ = _match_dense(
+                m.kf_desc[cand], has_mp, m.kf_angle[cand],
+                feats.desc, feats.valid, feats.angle,
+                max_dist=cfg.matcher.th_low, ratio=cfg.matcher.ratio_reloc,
+            )  # per frame-kp -> cand-kp
+            if int(jnp.sum(assign >= 0)) < cfg.tracking.reloc_min_bow_matches:
+                continue
+            kp_c = jnp.clip(assign, 0, m.N - 1)
+            mp = m.kf_mp[cand, kp_c]
+            ok = (assign >= 0) & (mp >= 0) & m.mp_valid[jnp.clip(mp, 0, m.M - 1)]
+            p_w = m.mp_pos[jnp.clip(mp, 0, m.M - 1)]
+            sigma2 = 1.0 / self.inv_sigma2_tab[feats.octave]
+            p_cam = backproject(self.cam, feats.uv, jnp.maximum(feats.depth, 1e-3))
+            self._reloc_key, sub = jrandom.split(self._reloc_key)
+            res = ransac_pose_3d3d(
+                sub, self.cam, p_w, p_cam, feats.uv, sigma2,
+                feats.depth > 0, ok & feats.valid,
+                n_hypotheses=cfg.capacity.ransac_batch, min_inliers=10,
+            )
+            if not bool(res.ok):
+                continue
+            po = PoseObservations(
+                p_w=p_w,
+                obs_uvr=jnp.concatenate([feats.uv, feats.right_u[:, None]], -1),
+                inv_sigma2=self.inv_sigma2_tab[feats.octave],
+                has_stereo=feats.right_u >= 0,
+                valid=ok & feats.valid,
+            )
+            T_opt, inliers, n_in = optimize_pose(self.cam, res.T_cw, po)
+            if int(n_in) < cfg.tracking.reloc_min_inliers:
+                # Widen by projection against the candidate's map points
+                # and re-optimize (tracking.cpp:702-732).
+                ids = m.kf_mp[cand]
+                idc = jnp.clip(ids, 0, m.M - 1)
+                pvalid = (ids >= 0) & m.mp_valid[idc]
+                assign2, _ = match_local_points(
+                    self.cam, feats, T_opt,
+                    m.mp_pos[idc], m.mp_desc[idc], m.mp_normal[idc],
+                    m.mp_max_dist[idc], m.mp_min_dist[idc], pvalid,
+                    th=3.0, n_levels=cfg.orb.n_levels,
+                    scale_factor=cfg.orb.scale_factor,
+                )
+                po2 = PoseObservations(
+                    p_w=m.mp_pos[idc][jnp.clip(assign2, 0, m.N - 1)],
+                    obs_uvr=jnp.concatenate(
+                        [feats.uv, feats.right_u[:, None]], -1
+                    ),
+                    inv_sigma2=self.inv_sigma2_tab[feats.octave],
+                    has_stereo=feats.right_u >= 0,
+                    valid=(assign2 >= 0) & feats.valid,
+                )
+                T_opt, inliers, n_in = optimize_pose(self.cam, T_opt, po2)
+            if int(n_in) >= cfg.tracking.reloc_min_inliers:
+                tracker.new_T = T_opt
+                tracker.T_cw = T_opt
+                tracker.velocity = jnp.eye(4)
+                tracker.n_inliers = int(n_in)
+                self.ref_kf = cand
+                return True
+        return False
 
     def _need_new_keyframe(self, feats: FrameFeatures, n_in: int) -> bool:
         """Tracking::needNewKeyFrame (tracking.cpp:740-796), exact gates:
@@ -426,6 +530,14 @@ class SlamSystem:
         self.n_keyframes += 1
         self.ref_kf = slot
         self.frames_since_kf = 0
+        # Index the keyframe for place recognition (KeyFrameDatabase::add
+        # serves both relocalization and loop detection).
+        from .retrieval import add_keyframe as _retr_add
+
+        self.retrieval = _retr_add(
+            self.retrieval, slot, self.map.kf_desc[slot],
+            self.map.kf_kp_valid[slot],
+        )
 
         if self.n_keyframes > 2:
             # Synchronous local-mapping pipeline (localMapping.cpp:8-53).

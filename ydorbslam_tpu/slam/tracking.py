@@ -106,6 +106,7 @@ class Tracker:
         self.records: List[FrameRecord] = []
         self.local_map_hook = None  # set by System when mapping runs
         self.new_kf_hook = None
+        self.reloc_hook = None  # set by System: BoW + PnP relocalization
         self.pending_landmarks = None  # (p_w, valid) supplied by the hook
         self.n_inliers = 0
 
@@ -177,13 +178,17 @@ class Tracker:
             if not self._initialize(timestamp, feats):
                 lost = True
         else:
-            T_pred = self.velocity @ self.T_cw
-            ok = self._track_motion(feats, T_pred)
-            if not ok:
-                # Reference falls back to reference-KF BoW tracking
-                # (tracking.cpp:375-406); our dense equivalent matches
-                # appearance-only against the last frame.
-                ok = self._track_appearance(feats, T_pred)
+            if self.state == TrackingState.LOST and self.reloc_hook is not None:
+                # LOST -> BoW relocalization only (tracking.cpp:257-259).
+                ok = self.reloc_hook(self, timestamp, feats)
+            else:
+                T_pred = self.velocity @ self.T_cw
+                ok = self._track_motion(feats, T_pred)
+                if not ok:
+                    # Reference falls back to reference-KF BoW tracking
+                    # (tracking.cpp:375-406); our dense equivalent matches
+                    # appearance-only against the last frame.
+                    ok = self._track_appearance(feats, T_pred)
             if ok and self.local_map_hook is not None:
                 ok = self.local_map_hook(self, timestamp, feats)
             if ok:
