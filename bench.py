@@ -39,17 +39,31 @@ def main():
     seq = SyntheticRgbdSequence(rng, n_frames=n_frames, n_landmarks=800)
     frames = [seq.frame(i) for i in range(n_frames)]
 
-    tracker = Tracker(cfg)
+    from ydorbslam_tpu.slam.system import SlamSystem, Sensor
+
+    # Loop closing off: the reference's timing contract measures the
+    # TRACKING thread only (test.cpp:98-106); its loop closer runs in a
+    # background thread.  Synthetic dot scenes also alias heavily in
+    # appearance space, which would benchmark the verifier, not tracking.
+    system = SlamSystem(cfg, Sensor.RGBD, enable_loop_closing=False)
+    system.enable_pipelined(lag=8)
     # Warmup (compile) on the first few frames.
     for t, g, d in frames[:3]:
-        tracker.track_rgbd(t, g, d)
+        system.track_rgbd_pipelined(t, g, d)
+    system.flush_pipeline()
     times = []
     for t, g, d in frames[3:]:
         t0 = time.perf_counter()
-        tracker.track_rgbd(t, g, d)
+        system.track_rgbd_pipelined(t, g, d)
         times.append(time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    system.shutdown()
+    drain = time.perf_counter() - t0
+    # Steady-state throughput: total wall time over tracked frames
+    # (per-dispatch medians undercount the async pipeline's real rate).
+    total = sum(times) + drain
+    fps = (len(frames) - 3) / total
     median = float(np.median(times))
-    fps = 1.0 / median
     print(
         json.dumps(
             {

@@ -30,3 +30,18 @@ import jax as _jax
 # bf16x6) instead of the default fast bf16 path.  The descriptor/count
 # matmuls that dominate FLOPs are integer-typed and unaffected.
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: the fused frame-step programs are large
+# and (remote-)compilation is the dominant startup cost; cache them
+# across processes.
+import os as _os
+
+_cache_dir = _os.environ.get(
+    "YDORB_JAX_CACHE", _os.path.expanduser("~/.cache/ydorbslam_jax")
+)
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass

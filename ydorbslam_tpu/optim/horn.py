@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry.camera import CameraIntrinsics
-from ..geometry.sim3 import make_S
+from ..geometry.sim3 import inv_S, make_S
 
 
 def horn_sim3(
@@ -120,7 +120,7 @@ def ransac_sim3(
     obs2 = project(p2_cam)
 
     def count_inliers(S12):
-        S21 = jnp.linalg.inv(S12)
+        S21 = inv_S(S12)
         p2_in_1 = p2_cam @ S12[:3, :3].T + S12[:3, 3]
         p1_in_2 = p1_cam @ S21[:3, :3].T + S21[:3, 3]
         e1 = jnp.sum((project(p2_in_1) - obs1) ** 2, axis=-1)

@@ -23,7 +23,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..geometry.sim3 import sim3_exp, sim3_log
+from ..geometry.sim3 import inv_S, sim3_exp, sim3_log
 
 
 class PoseGraphProblem(NamedTuple):
@@ -41,7 +41,7 @@ def edge_measurement(S_i: jax.Array, S_j: jax.Array) -> jax.Array:
     """Measurement for edge (i,j): S_ij_meas = S_i @ S_j^-1, so that the
     residual log(S_meas @ S_j @ S_i^-1) is zero at the measured
     configuration."""
-    return S_i @ jnp.linalg.inv(S_j)
+    return S_i @ inv_S(S_j)
 
 
 def _edge_residual(S_meas, S_i, S_j, eps_i, eps_j, fix_scale):
@@ -50,7 +50,7 @@ def _edge_residual(S_meas, S_i, S_j, eps_i, eps_j, fix_scale):
         eps_j = eps_j.at[6].set(0.0)
     Si = sim3_exp(eps_i) @ S_i
     Sj = sim3_exp(eps_j) @ S_j
-    return sim3_log(S_meas @ Sj @ jnp.linalg.inv(Si))
+    return sim3_log(S_meas @ Sj @ inv_S(Si))
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "fix_scale"))

@@ -67,6 +67,78 @@ class BAProblem(NamedTuple):
         return self.obs_cam.shape[0:2][1]
 
 
+def inv3x3(M: jax.Array) -> jax.Array:
+    """Closed-form batched 3x3 inverse (adjugate / det).
+
+    ``jnp.linalg.inv`` on batches of tiny matrices lowers to per-matrix
+    LU on TPU and is catastrophically slow through this toolchain; the
+    cofactor formula is pure elementwise VPU work.
+    """
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+    adj = jnp.stack(
+        [
+            jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=-1),
+            jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=-1),
+            jnp.stack([C, -(a * h - b * g), a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
+
+
+def _pcg_solve_blocks(S: jax.Array, b: jax.Array, iters: int = 96) -> jax.Array:
+    """Solve S x = b for block-structured S (C,C,6,6), b (C,6) with
+    block-Jacobi preconditioned conjugate gradients.
+
+    Dense LU/Cholesky of the (6C, 6C) reduced system is latency-bound on
+    TPU (sequential panel factorization); PCG is pure matmul work on the
+    MXU and converges in a few dozen iterations on damped BA systems.
+    """
+    C = S.shape[0]
+    # Jacobi preconditioner from the scalar diagonal (elementwise; block
+    # inverses would need batched 6x6 LU which is slow on this target).
+    diag = S[
+        jnp.arange(C)[:, None], jnp.arange(C)[:, None],
+        jnp.arange(6)[None, :], jnp.arange(6)[None, :],
+    ]  # (C,6)
+    dinv = jnp.where(jnp.abs(diag) > 1e-8, 1.0 / diag, 1.0)
+
+    def matvec(x):
+        return jnp.einsum("cdij,dj->ci", S, x)
+
+    def precond(r):
+        return dinv * r
+
+    x0 = jnp.zeros_like(b)
+    r0 = b - matvec(x0)
+    z0 = precond(r0)
+
+    def body(_, state):
+        x, r, z, p, rz = state
+        Ap = matvec(p)
+        denom = jnp.sum(p * Ap)
+        alpha = rz / jnp.where(jnp.abs(denom) > 1e-20, denom, 1e-20)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(jnp.abs(rz) > 1e-20, rz, 1e-20)
+        p = z + beta * p
+        return x, r, z, p, rz_new
+
+    x, _, _, _, _ = jax.lax.fori_loop(
+        0, iters, body, (x0, r0, z0, z0, jnp.sum(r0 * z0))
+    )
+    return x
+
+
 def _per_obs(cam, T_all, p_w, prob: BAProblem):
     """Vmapped residuals/Jacobians over the (P,O) observation grid."""
     camc = jnp.clip(prob.obs_cam, 0, prob.C - 1)
@@ -127,59 +199,41 @@ def _lm_iteration(cam, T_all, p_w, prob: BAProblem, active, lam, use_huber):
     Hpp_d = Hpp + lam * jnp.eye(3) * jnp.maximum(
         jnp.trace(Hpp, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1e-6
     )
-    Hpp_inv = jnp.linalg.inv(Hpp_d)
+    Hpp_inv = inv3x3(Hpp_d)
     fixed_pt = ~prob.pt_valid
     Hpp_inv = jnp.where(fixed_pt[:, None, None], 0.0, Hpp_inv)
 
-    # Camera diagonal blocks + gradient (segment over obs).
-    camc = jnp.clip(prob.obs_cam, 0, C - 1).reshape(-1)
-    Hcc_blocks = jnp.einsum("poci,poc,pocj->poij", Jc, w, Jc).reshape(-1, 6, 6)
-    bc_blocks = jnp.einsum("poci,poc,poc->poi", Jc, w, r).reshape(-1, 6)
-    Hcc = jax.ops.segment_sum(Hcc_blocks, camc, num_segments=C)  # (C,6,6)
-    bc = jax.ops.segment_sum(bc_blocks, camc, num_segments=C)  # (C,6)
+    # --- MXU one-hot assembly -----------------------------------------
+    # TPU scatter (segment_sum) serializes badly; instead every
+    # "accumulate into camera c" becomes a matmul against the one-hot
+    # observation->camera incidence E (P,O,C).  This also eliminates the
+    # reference-style (P,O,O) pair enumeration for the Schur term:
+    #   U[p,c] = sum_o E[p,o,c] BHinv[p,o]   (6,3)
+    #   V[p,c] = sum_o E[p,o,c] B[p,o]       (6,3)
+    #   S_off  = sum_p U[p] V[p]^T           (C,C,6,6)  — one big matmul.
+    camc = jnp.clip(prob.obs_cam, 0, C - 1)  # (P,O)
+    E = (
+        (camc[..., None] == jnp.arange(C)[None, None, :])
+        & (prob.obs_cam >= 0)[..., None]
+    ).astype(jnp.float32)  # (P,O,C)
+
+    Hcc_blocks = jnp.einsum("poci,poc,pocj->poij", Jc, w, Jc)  # (P,O,6,6)
+    Hcc = jnp.einsum("poc,poij->cij", E, Hcc_blocks)  # (C,6,6)
+    bc = jnp.einsum(
+        "poc,poi->ci", E, jnp.einsum("poci,poc,poc->poi", Jc, w, r)
+    )  # (C,6)
 
     # Coupling B = Jc^T W Jp per obs: (P,O,6,3)
     B = jnp.einsum("poci,poc,pocj->poij", Jc, w, Jp)
     BHinv = jnp.einsum("poij,pjk->poik", B, Hpp_inv)  # (P,O,6,3)
+    U = jnp.einsum("poc,poik->pcik", E, BHinv)  # (P,C,6,3)
+    V = jnp.einsum("poc,pojk->pcjk", E, B)  # (P,C,6,3)
+    Um = U.transpose(1, 2, 0, 3).reshape(C * 6, P * 3)
+    Vm = V.transpose(1, 2, 0, 3).reshape(C * 6, P * 3)
+    S_off = (Um @ Vm.T).reshape(C, 6, C, 6).transpose(0, 2, 1, 3)
 
-    # Schur off-diagonal terms: sum over points of BHinv_o B_o'^T at
-    # (cam_o, cam_o').  Chunked over points: the (chunk, O, O, 6, 6)
-    # pair tensor is the peak intermediate, so large-P problems (global
-    # BA over the whole map) scan over point chunks instead of
-    # materializing (P, O, O, 36) at once.
-    cam2d = camc.reshape(P, O)
-    chunk = min(P, _SCHUR_CHUNK)
-    n_chunks = -(-P // chunk)
-    pad = n_chunks * chunk - P
-    if pad:
-        BHinv_c = jnp.pad(BHinv, ((0, pad), (0, 0), (0, 0), (0, 0)))
-        B_c = jnp.pad(B, ((0, pad), (0, 0), (0, 0), (0, 0)))
-        cam_c = jnp.pad(cam2d, ((0, pad), (0, 0)), constant_values=C)
-    else:
-        BHinv_c, B_c, cam_c = BHinv, B, cam2d
-
-    def chunk_sum(args):
-        bh, bb, cc = args
-        pair = jnp.einsum("poik,pqjk->poqij", bh, bb)  # (chunk,O,O,6,6)
-        ci = jnp.broadcast_to(cc[:, :, None], (chunk, O, O))
-        cj = jnp.broadcast_to(cc[:, None, :], (chunk, O, O))
-        seg = jnp.where((ci < C) & (cj < C), ci * C + cj, C * C)
-        return jax.ops.segment_sum(
-            pair.reshape(-1, 6, 6), seg.reshape(-1), num_segments=C * C + 1
-        )[: C * C]
-
-    chunks = (
-        BHinv_c.reshape(n_chunks, chunk, O, 6, 3),
-        B_c.reshape(n_chunks, chunk, O, 6, 3),
-        cam_c.reshape(n_chunks, chunk, O),
-    )
-    S_off = jnp.sum(jax.lax.map(chunk_sum, chunks), axis=0).reshape(C, C, 6, 6)
-
-    # Reduced rhs: bs = bc - sum_o BHinv_o bp
-    bs_corr = jax.ops.segment_sum(
-        jnp.einsum("poik,pk->poi", BHinv, bp).reshape(-1, 6), camc, num_segments=C
-    )
-    bs = bc - bs_corr  # (C,6)
+    # Reduced rhs: bs = bc - sum_p U_p bp_p
+    bs = bc - jnp.einsum("pcik,pk->ci", U, bp)  # (C,6)
 
     # Assemble dense S with damping on camera diagonal.
     Hcc_d = Hcc + lam * jnp.eye(6) * jnp.maximum(
@@ -196,11 +250,10 @@ def _lm_iteration(cam, T_all, p_w, prob: BAProblem, active, lam, use_huber):
     )
     bs = bs * fmask[:, None]
 
-    Sd = S.transpose(0, 2, 1, 3).reshape(C * 6, C * 6)
-    dxc = -jnp.linalg.solve(Sd + 1e-8 * jnp.eye(C * 6), bs.reshape(-1)).reshape(C, 6)
+    dxc = -_pcg_solve_blocks(S, bs)
 
     # Back-substitute points: dxp = -Hpp^-1 (bp + sum_o B_o^T dxc[cam_o])
-    dxc_obs = dxc[camc.reshape(P, O)]  # (P,O,6)
+    dxc_obs = dxc[camc]  # (P,O,6)
     corr = jnp.einsum("poij,poi->pj", B, dxc_obs)  # (P,3)
     dxp = -jnp.einsum("pij,pj->pi", Hpp_inv, bp + corr)
 

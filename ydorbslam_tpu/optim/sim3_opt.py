@@ -16,14 +16,14 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry.camera import CameraIntrinsics
-from ..geometry.sim3 import sim3_exp
+from ..geometry.sim3 import inv_S, sim3_exp
 
 CHI2 = 9.999  # reference threshold for sim3 edges (optimizer.cpp:751 ~ 10)
 
 
 def _residuals(cam: CameraIntrinsics, S12, p1_cam, p2_cam, obs1, obs2):
     """(N,4): [err1(2): p2 through S12 vs obs1, err2(2): p1 through S21]."""
-    S21 = jnp.linalg.inv(S12)
+    S21 = inv_S(S12)
 
     def project(p):
         z = jnp.maximum(p[..., 2], 1e-6)

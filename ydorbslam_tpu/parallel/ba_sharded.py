@@ -23,7 +23,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..geometry.camera import CameraIntrinsics
 from ..geometry.se3 import se3_exp
 from ..optim.residuals import batched_residual_and_jacobians, observation_weights
-from ..optim.schur import BAProblem, CHI2_MONO, CHI2_STEREO, _per_obs, _weights
+from ..optim.schur import (
+    BAProblem, CHI2_MONO, CHI2_STEREO, _per_obs, _weights, inv3x3,
+)
 from ..optim.residuals import chi2_per_obs, huber_scale
 
 
@@ -112,9 +114,7 @@ def sharded_ba_step(
         Hpp_d = Hpp + lam * jnp.eye(3) * jnp.maximum(
             jnp.trace(Hpp, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1e-6
         )
-        Hpp_inv = jnp.where(
-            pt_ok[:, None, None], jnp.linalg.inv(Hpp_d), 0.0
-        )
+        Hpp_inv = jnp.where(pt_ok[:, None, None], inv3x3(Hpp_d), 0.0)
 
         camc = jnp.clip(obs_cam, 0, C - 1).reshape(-1)
         Hcc = jax.lax.psum(
@@ -163,10 +163,9 @@ def sharded_ba_step(
             jnp.where(free, 0.0, 1.0)[:, None, None] * jnp.eye(6)
         )
         bs = bs * fm[:, None]
-        Sd = S.transpose(0, 2, 1, 3).reshape(C * 6, C * 6)
-        dxc = -jnp.linalg.solve(Sd + 1e-8 * jnp.eye(C * 6), bs.reshape(-1)).reshape(
-            C, 6
-        )
+        from ..optim.schur import _pcg_solve_blocks
+
+        dxc = -_pcg_solve_blocks(S, bs)
         # Local landmark back-substitution.
         dxc_obs = dxc[camc.reshape(Pl, O)]
         corr = jnp.einsum("poij,poi->pj", B, dxc_obs)

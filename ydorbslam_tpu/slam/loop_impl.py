@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..geometry.sim3 import sim3_to_se3
+from ..geometry.se3 import inv_T
+from ..geometry.sim3 import inv_S, sim3_to_se3
 from ..optim.horn import ransac_sim3
 from ..optim.pose_graph import (
     PoseGraphProblem,
@@ -38,6 +39,45 @@ from .matchers import match_dense, match_local_points
 from .retrieval import add_keyframe as retr_add
 from .retrieval import bow_histogram, detect_candidates, score_all
 from .triangulate import _fuse_into_kf
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("max_out", "consistency_th"))
+def _detect_on_device(
+    m: MapState, retrieval, kf_id, prev_masks, prev_counts,
+    max_out: int, consistency_th: int,
+):
+    """Fused loop-candidate detection + covisibility-consistency update.
+
+    One program covers KeyFrameDatabase::detectLoopCandidates gating
+    (query histogram, min covisible score, candidate filter) AND the
+    consistency-group tracking of loopClosing.cpp:73-113: each
+    candidate's covisibility group is intersected with the previous
+    keyframe's groups on device; only the per-candidate "consistent
+    enough" flags cross to the host.
+    """
+    q = bow_histogram(m.kf_desc[kf_id], m.kf_kp_valid[kf_id])
+    connected = (m.covis[kf_id] > 0).at[kf_id].set(True)
+    _, scores = score_all(retrieval, q)
+    neigh = connected & (jnp.arange(m.K) != kf_id) & retrieval.valid
+    min_score = jnp.min(jnp.where(neigh, scores, jnp.inf))
+    min_score = jnp.where(jnp.isfinite(min_score), min_score, 0.0)
+    ids, _ = detect_candidates(
+        retrieval, q, connected, m.covis, min_score, max_out=max_out
+    )
+    # Consistency groups: candidate group = candidate + its covisibles.
+    idc = jnp.clip(ids, 0, m.K - 1)
+    masks = (m.covis[idc] > 0) | jax.nn.one_hot(idc, m.K, dtype=bool)
+    masks &= (ids >= 0)[:, None]
+    inter = jnp.einsum("ck,gk->cg", masks, prev_masks)  # counts > 0 = hit
+    best_prev = jnp.max(
+        jnp.where(inter > 0, prev_counts[None, :] + 1, 0), axis=-1,
+        initial=0,
+    )
+    consistent = (ids >= 0) & (best_prev >= consistency_th)
+    return ids, consistent, masks, best_prev
 
 
 class LoopCloserImpl:
@@ -65,47 +105,31 @@ class LoopCloserImpl:
                 self._correct(kf_id, cand, S_12)
                 closer.last_loop_kf_count = sys.n_keyframes
                 closer.n_loops_closed += 1
-                closer.consistent_groups = []
+                closer.consistent_groups = []  # re-initialized lazily
                 return True
         return False
 
     # ------------------------------------------------------------------
     def _detect(self, kf_id: int) -> List[int]:
         """Candidates + covisibility-consistency filter
-        (loopClosing.cpp:34-114)."""
+        (loopClosing.cpp:34-114).  Device-side gating and consistency;
+        ONE small host fetch of (ids, flags)."""
         sys = self.system
         m = sys.map
-        covis_row = np.asarray(m.covis[kf_id])
-        connected = covis_row > 0
-        connected[kf_id] = True
-        # minScore: lowest BoW score against covisible neighbors
-        # (loopClosing.cpp:51-59).
-        q = bow_histogram(m.kf_desc[kf_id], m.kf_kp_valid[kf_id])
-        _, scores = score_all(sys.retrieval, q)
-        scores = np.asarray(scores)
-        neigh = np.where(connected & (np.arange(m.K) != kf_id))[0]
-        min_score = float(scores[neigh].min()) if len(neigh) else 0.0
-        ids, _ = detect_candidates(
-            sys.retrieval, q, jnp.asarray(connected), m.covis,
-            jnp.float32(min_score), max_out=sys.cfg.capacity.loop_candidates,
+        C = sys.cfg.capacity.loop_candidates
+        if not isinstance(self.closer.consistent_groups, tuple):
+            self.closer.consistent_groups = (
+                jnp.zeros((C, m.K), bool),
+                -jnp.ones((C,), jnp.int32),
+            )
+        prev_masks, prev_counts = self.closer.consistent_groups
+        ids, consistent, masks, counts = _detect_on_device(
+            m, sys.retrieval, kf_id, prev_masks, prev_counts,
+            C, sys.cfg.loop.covisibility_consistency_th,
         )
-        ids = [int(i) for i in np.asarray(ids) if i >= 0]
-        # Consistency groups across consecutive keyframes.
-        covis_np = np.asarray(m.covis)
-        prev = self.closer.consistent_groups
-        new_groups: List[Tuple[Set[int], int]] = []
-        consistent_enough: List[int] = []
-        for c in ids:
-            group = set(np.where(covis_np[c] > 0)[0].tolist()) | {c}
-            best = 0
-            for pg, count in prev:
-                if group & pg:
-                    best = max(best, count + 1)
-            new_groups.append((group, best))
-            if best >= self.system.cfg.loop.covisibility_consistency_th:
-                consistent_enough.append(c)
-        self.closer.consistent_groups = new_groups
-        return consistent_enough
+        self.closer.consistent_groups = (masks, counts.astype(jnp.int32))
+        ids_np, cons_np = jax.device_get((ids, consistent))
+        return [int(i) for i, c in zip(ids_np, cons_np) if i >= 0 and c]
 
     # ------------------------------------------------------------------
     def _compute_sim3(self, kf1: int, kf2: int):
@@ -219,7 +243,7 @@ class LoopCloserImpl:
         S_cw_corr = S_12 @ m.kf_pose[kf2]
         group = np.where((np.asarray(m.covis[kf1]) > 0) & np.asarray(m.kf_valid))[0]
         group = np.unique(np.concatenate([group, [kf1]]))
-        T_old_kf1_inv = jnp.linalg.inv(old_poses[kf1])
+        T_old_kf1_inv = inv_T(old_poses[kf1])
 
         corrected = {}
         for k in group:
@@ -239,7 +263,7 @@ class LoopCloserImpl:
             S_new = jnp.stack([corrected[int(k)] for k in use_kf])
             p = m.mp_pos[ptsj]
             p_cam = jnp.einsum("nij,nj->ni", S_old[:, :3, :3], p) + S_old[:, :3, 3]
-            S_new_inv = jnp.linalg.inv(S_new)
+            S_new_inv = inv_T(S_new)  # corrected poses are SE3 (s=1)
             p_corr = (
                 jnp.einsum("nij,nj->ni", S_new_inv[:, :3, :3], p_cam)
                 + S_new_inv[:, :3, 3]
@@ -328,7 +352,7 @@ class LoopCloserImpl:
             jnp.einsum("nij,nj->ni", S_old_ref[:, :3, :3], m.mp_pos)
             + S_old_ref[:, :3, 3]
         )
-        S_inv = jnp.linalg.inv(S_new_ref)
+        S_inv = inv_T(S_new_ref)  # fix_scale=True -> rigid
         p_new = (
             jnp.einsum("nij,nj->ni", S_inv[:, :3, :3], p_cam) + S_inv[:, :3, 3]
         )

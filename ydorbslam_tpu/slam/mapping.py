@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry.camera import CameraIntrinsics
+from ..geometry.se3 import inv_T
 from ..optim.schur import BAProblem, bundle_adjust
 from .map_state import MapState, erase_observations, recount_obs
 
@@ -255,7 +256,7 @@ def cull_keyframes(
     # Freeze the culled keyframes' pose relative to their parent so the
     # trajectory writer can walk the spanning tree (system.cpp:209-232).
     par = jnp.clip(m.parent, 0, m.K - 1)
-    T_par_inv = jnp.linalg.inv(m.kf_pose[par])
+    T_par_inv = inv_T(m.kf_pose[par])
     T_c2p = jnp.einsum("kij,kjl->kil", m.kf_pose, T_par_inv)
     kf_T_c2p = jnp.where(cull[:, None, None], T_c2p, m.kf_T_c2p)
     # Erase observations made by culled keyframes.

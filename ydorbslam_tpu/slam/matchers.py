@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry.camera import CameraIntrinsics
+from ..geometry.se3 import inv_T
 from ..ops.extractor import FrameFeatures
 from ..ops.hamming import (
     INVALID_DIST,

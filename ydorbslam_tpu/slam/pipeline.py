@@ -1,0 +1,304 @@
+"""Device-resident pipelined tracking: one dispatch, zero syncs per frame.
+
+Why this exists: on a TPU the per-frame math of tracking costs ~2 ms,
+but every host<->device round trip costs tens of ms (remote-dispatch
+latency).  The synchronous Tracker (slam/tracking.py) reads several
+scalars per frame to drive its state machine — correct, but
+latency-bound.  This module moves the WHOLE per-frame state machine
+into one jitted step over a device-resident ``TrackState``:
+
+  * extraction, depth association, motion-model matching (both window
+    widths computed, selected by match count), pose LM, local-map
+    matching + LM, the keyframe-decision counters — all inside one
+    program; the tracking mode (INIT/OK/LOST) is itself device state
+    driven by ``lax`` selects;
+  * a small ``FrameInfo`` result is fetched ASYNCHRONOUSLY and inspected
+    a few frames late, so the device never waits for the host;
+  * recent frames' features live in an on-device ring buffer; when the
+    (lagging) host sees ``need_kf`` it inserts that ring slot as a
+    keyframe and runs the mapping pipeline — the exact role of the
+    reference's LocalMapping thread queue (src/localMapping.cpp:63,
+    SURVEY.md §2c P1), re-expressed as dispatch-ahead instead of
+    threads.
+
+Relocalization stays on host (rare; a stall there is acceptable).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.camera import CameraIntrinsics, backproject
+from ..geometry.se3 import inv_T
+from ..ops.extractor import FrameFeatures, extract_orb
+from ..ops.stereo import fill_depth_from_rgbd
+from ..optim.pose import PoseObservations, optimize_pose
+from .matchers import match_local_points, match_motion_model
+
+MODE_INIT = 0
+MODE_OK = 1
+MODE_LOST = 2
+
+RING = 16  # on-device frame ring size (frames + packed info)
+
+
+class TrackSet(NamedTuple):
+    """Local tracking map snapshot (refreshed by host after keyframes)."""
+
+    pts: jax.Array  # (P,) global map-point ids
+    pos: jax.Array  # (P,3)
+    desc: jax.Array  # (P,8)
+    normal: jax.Array  # (P,3)
+    dmax: jax.Array  # (P,)
+    dmin: jax.Array  # (P,)
+    valid: jax.Array  # (P,)
+    ref_tracked: jax.Array  # scalar: reference-KF tracked count (KF rule)
+
+
+class TrackState(NamedTuple):
+    mode: jax.Array  # scalar i32
+    T_cw: jax.Array  # (4,4)
+    velocity: jax.Array  # (4,4)
+    last: FrameFeatures
+    last_lms: jax.Array  # (N,3)
+    last_lms_valid: jax.Array  # (N,)
+    ring_feats: FrameFeatures  # arrays with leading (RING,)
+    ring_mpid: jax.Array  # (RING,N)
+    ring_T: jax.Array  # (RING,4,4)
+    ring_info: jax.Array  # (RING, INFO_DIM) packed per-frame outcomes
+    frame_idx: jax.Array  # scalar i32
+
+
+INFO_DIM = 21  # [mode, ok, n_inliers, need_kf, slot, T_cw(16)]
+
+
+class FrameInfo(NamedTuple):
+    """Host-side view of one packed info row."""
+
+    mode: int
+    ok: bool
+    n_inliers: int
+    need_kf: bool
+    ring_slot: int
+    T_cw: np.ndarray
+
+    @staticmethod
+    def unpack(row: np.ndarray) -> "FrameInfo":
+        return FrameInfo(
+            mode=int(row[0]),
+            ok=bool(row[1] > 0.5),
+            n_inliers=int(row[2]),
+            need_kf=bool(row[3] > 0.5),
+            ring_slot=int(row[4]),
+            T_cw=row[5:21].reshape(4, 4).astype(np.float64),
+        )
+
+
+def empty_track_state(n: int) -> TrackState:
+    from ..ops.extractor import empty_features
+
+    ef = empty_features(n)
+    ring = jax.tree.map(lambda a: jnp.stack([a] * RING), ef)
+    return TrackState(
+        mode=jnp.int32(MODE_INIT),
+        T_cw=jnp.eye(4),
+        velocity=jnp.eye(4),
+        last=ef,
+        last_lms=jnp.zeros((n, 3)),
+        last_lms_valid=jnp.zeros((n,), bool),
+        ring_feats=ring,
+        ring_mpid=-jnp.ones((RING, n), jnp.int32),
+        ring_T=jnp.stack([jnp.eye(4)] * RING),
+        ring_info=jnp.zeros((RING, INFO_DIM)),
+        frame_idx=jnp.int32(0),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_features", "capacity", "n_levels", "scale_factor",
+        "th_high", "th_low", "min_motion", "min_local",
+        "close_tracked_max", "close_untracked_min",
+    ),
+    donate_argnums=(0,),
+)
+def rgbd_frame_step(
+    state: TrackState,
+    gray: jax.Array,
+    depth: jax.Array,
+    trkset: TrackSet,
+    cam: CameraIntrinsics,
+    inv_sigma2_tab: jax.Array,
+    depth_threshold: jax.Array,
+    n_features: int = 1000,
+    capacity: int = 1024,
+    n_levels: int = 8,
+    scale_factor: float = 1.2,
+    th_high: int = 20,
+    th_low: int = 7,
+    min_motion: int = 10,
+    min_local: int = 30,
+    close_tracked_max: int = 100,
+    close_untracked_min: int = 70,
+):
+    """One full RGB-D tracking step on device. Returns state' (the packed
+    per-frame outcome lands in state.ring_info — fetched in batches)."""
+    feats = extract_orb(
+        gray, cam, n_features=n_features, capacity=capacity,
+        n_levels=n_levels, scale_factor=scale_factor,
+        th_high=th_high, th_low=th_low, has_distortion=False,
+    )
+    feats = fill_depth_from_rgbd(feats, depth, cam)
+    n = feats.valid.shape[0]
+    n_depth = jnp.sum(feats.valid & (feats.depth > 0))
+
+    # ---------- branch: initialization ----------
+    can_init = (state.mode == MODE_INIT) & (n_depth >= 100)
+
+    # ---------- branch: motion-model tracking ----------
+    T_pred = state.velocity @ state.T_cw
+    assign7, _ = match_motion_model(
+        cam, feats, state.last, state.last_lms, state.last_lms_valid,
+        T_pred, state.T_cw, th=7.0, n_levels=n_levels, scale_factor=scale_factor,
+    )
+    assign14, _ = match_motion_model(
+        cam, feats, state.last, state.last_lms, state.last_lms_valid,
+        T_pred, state.T_cw, th=14.0, n_levels=n_levels, scale_factor=scale_factor,
+    )
+    use_wide = jnp.sum(assign7 >= 0) < 20
+    assign = jnp.where(use_wide, assign14, assign7)
+    src = jnp.clip(assign, 0, n - 1)
+    po = PoseObservations(
+        p_w=state.last_lms[src],
+        obs_uvr=jnp.concatenate([feats.uv, feats.right_u[:, None]], -1),
+        inv_sigma2=inv_sigma2_tab[feats.octave],
+        has_stereo=feats.right_u >= 0,
+        valid=(assign >= 0) & feats.valid & state.last_lms_valid[src],
+    )
+    T_mot, _, n_mot = optimize_pose(cam, T_pred, po)
+    motion_ok = n_mot >= min_motion
+
+    # ---------- local-map tracking ----------
+    T_start = jnp.where(motion_ok, T_mot, T_pred)
+    lassign, _ = match_local_points(
+        cam, feats, T_start, trkset.pos, trkset.desc, trkset.normal,
+        trkset.dmax, trkset.dmin, trkset.valid,
+        th=1.0, n_levels=n_levels, scale_factor=scale_factor,
+    )
+    P = trkset.pos.shape[0]
+    lsrc = jnp.clip(lassign, 0, P - 1)
+    plo = PoseObservations(
+        p_w=trkset.pos[lsrc],
+        obs_uvr=jnp.concatenate([feats.uv, feats.right_u[:, None]], -1),
+        inv_sigma2=inv_sigma2_tab[feats.octave],
+        has_stereo=feats.right_u >= 0,
+        valid=(lassign >= 0) & feats.valid & trkset.valid[lsrc],
+    )
+    T_loc, linlier, n_loc = optimize_pose(cam, T_start, plo)
+    # Bootstrap guard: frames dispatched between map initialization and
+    # the host's first tracking-set refresh see an (almost) empty
+    # trkset; fall back to motion-only tracking rather than declaring
+    # LOST (the synchronous reference never hits this because its hook
+    # is in-line).
+    trk_populated = jnp.sum(trkset.valid) >= min_local
+    local_ok = jnp.where(trk_populated, n_loc >= min_local, motion_ok)
+    T_loc = jnp.where(trk_populated, T_loc, T_start)
+    n_loc = jnp.where(trk_populated, n_loc, n_mot)
+
+    track_ok = motion_ok & local_ok
+    # mpid per keypoint (map-point id) for inlier matches
+    mpid = jnp.where(
+        trk_populated & linlier & (lassign >= 0), trkset.pts[lsrc], -1
+    )
+
+    # ---------- keyframe decision counters (tracking.cpp:762-775) ----------
+    close = feats.valid & (feats.depth > 0) & (feats.depth <= depth_threshold)
+    tracked_close = jnp.sum(close & (mpid >= 0))
+    untracked_close = jnp.sum(close & (mpid < 0))
+    need_close = (tracked_close < close_tracked_max) & (
+        untracked_close > close_untracked_min
+    )
+    ref_ratio = jnp.float32(0.75)
+    c2 = (n_loc > 15) & (
+        (n_loc < trkset.ref_tracked * ref_ratio) | need_close
+    )
+    need_kf = track_ok & c2
+
+    # ---------- select outcome ----------
+    T_new = jnp.where(can_init, jnp.eye(4), jnp.where(track_ok, T_loc, state.T_cw))
+    ok = can_init | ((state.mode != MODE_INIT) & track_ok)
+    new_mode = jnp.where(
+        can_init | track_ok, MODE_OK,
+        jnp.where(state.mode == MODE_INIT, MODE_INIT, MODE_LOST),
+    ).astype(jnp.int32)
+    velocity = jnp.where(
+        track_ok & (state.mode == MODE_OK),
+        T_new @ jnp.linalg.inv(state.T_cw),
+        jnp.where(can_init, jnp.eye(4), state.velocity),
+    )
+
+    # landmark set for the next frame's motion model: map positions where
+    # matched, depth backprojection elsewhere
+    p_c = backproject(cam, feats.uv, jnp.maximum(feats.depth, 1e-3))
+    R, t = T_new[:3, :3], T_new[:3, 3]
+    p_depth = (p_c - t) @ R
+    lms = jnp.where((mpid >= 0)[:, None], trkset.pos[lsrc], p_depth)
+    lms_valid = (feats.depth > 0) | (mpid >= 0)
+    adopt = ok
+
+    def sel(a, b):
+        return jnp.where(adopt, a, b)
+
+    new_last = jax.tree.map(
+        lambda a, b: jnp.where(
+            jnp.reshape(adopt, (1,) * a.ndim), a, b
+        ), feats, state.last,
+    )
+    slot = state.frame_idx % RING
+    ring_feats = jax.tree.map(
+        lambda ring, f: ring.at[slot].set(f), state.ring_feats, feats
+    )
+    init_mpid = -jnp.ones((n,), jnp.int32)
+    ring_mpid = state.ring_mpid.at[slot].set(jnp.where(can_init, init_mpid, mpid))
+    ring_T = state.ring_T.at[slot].set(T_new)
+
+    info_row = jnp.concatenate(
+        [
+            jnp.stack(
+                [
+                    new_mode.astype(jnp.float32),
+                    ok.astype(jnp.float32),
+                    jnp.where(can_init, n_depth, n_loc).astype(jnp.float32),
+                    (need_kf | can_init).astype(jnp.float32),
+                    slot.astype(jnp.float32),
+                ]
+            ),
+            T_new.reshape(-1),
+        ]
+    )
+    new_state = TrackState(
+        mode=new_mode,
+        T_cw=T_new,
+        velocity=velocity,
+        last=new_last,
+        last_lms=jnp.where(adopt, lms, state.last_lms),
+        last_lms_valid=jnp.where(adopt, lms_valid & feats.valid, state.last_lms_valid),
+        ring_feats=ring_feats,
+        ring_mpid=ring_mpid,
+        ring_T=ring_T,
+        ring_info=state.ring_info.at[slot].set(info_row),
+        frame_idx=state.frame_idx + 1,
+    )
+    return new_state
+
+
+@jax.jit
+def read_ring(state: TrackState, slot):
+    """Gather one ring entry (for keyframe insertion by the host)."""
+    feats = jax.tree.map(lambda a: a[slot], state.ring_feats)
+    return feats, state.ring_mpid[slot], state.ring_T[slot]

@@ -157,6 +157,41 @@ class SlamSystem:
         self._frame_mpid = None  # (N,) map-point id per current-frame kp
 
     # ------------------------------------------------------------------
+    # host graph snapshot: ONE bulk device->host fetch per refresh.
+    # Remote-TPU dispatch latency makes each individual np.asarray read
+    # cost ~a full round trip; everything host-side control flow needs
+    # (slot allocation, neighbor selection, record rebasing, trajectory
+    # caching) reads this snapshot instead.
+    # ------------------------------------------------------------------
+    def _refresh_snapshot(self, neighbors_of: Optional[int] = None):
+        """ONE small bulk fetch (device->host bandwidth through the
+        tunnel is ~100 KB/s, so the big graph arrays — covis (K^2),
+        kf_pose — must NEVER be pulled here; neighbor lists and pose
+        rows are computed/gathered on device and fetched as slivers)."""
+        m = self.map
+        fetch = [m.kf_valid, m.parent, m.kf_frame_id,
+                 m.kf_pose[self.ref_kf], m.kf_T_c2p[self.ref_kf]]
+        if neighbors_of is not None:
+            w = m.covis[neighbors_of] * m.kf_valid.astype(jnp.int32)
+            vals, ids = jax.lax.top_k(w, 10)
+            fetch.append(jnp.where(vals > 0, ids, -1))
+        got = jax.device_get(tuple(fetch))
+        self._snap = {
+            "kf_valid": got[0],
+            "parent": got[1],
+            "kf_frame_id": got[2],
+            "ref_pose": got[3],
+        }
+        if neighbors_of is not None:
+            self._snap["neighbors"] = [int(k) for k in got[5] if k >= 0]
+        return self._snap
+
+    def _snapshot(self):
+        if getattr(self, "_snap", None) is None:
+            self._refresh_snapshot()
+        return self._snap
+
+    # ------------------------------------------------------------------
     # public API (mirrors src/system.hpp)
     # ------------------------------------------------------------------
     def track_rgbd(self, timestamp, gray, depth) -> bool:
@@ -206,7 +241,10 @@ class SlamSystem:
         self.records = []
 
     def shutdown(self):
-        """No threads to join — provided for API parity (system.cpp:176-191)."""
+        """Drain the pipelined queue; no threads to join
+        (system.cpp:176-191 parity)."""
+        if getattr(self, "_pending", None):
+            self.flush_pipeline()
 
     def tracking_state(self) -> TrackingState:
         return self.tracker.state
@@ -217,6 +255,153 @@ class SlamSystem:
     def map_changed_index(self) -> int:
         """Big-change counter analog (map.hpp:46-47)."""
         return self.n_keyframes
+
+    # ------------------------------------------------------------------
+    # pipelined (device-resident) tracking — the TPU fast path
+    # ------------------------------------------------------------------
+    def enable_pipelined(self, lag: int = 3):
+        """Switch to the zero-sync-per-frame pipelined tracker
+        (slam/pipeline.py).  Host decisions (keyframes, records, reloc)
+        are made ``lag`` frames late from asynchronously fetched
+        FrameInfo — the dispatch-ahead equivalent of the reference's
+        LocalMapping queue."""
+        from .pipeline import TrackSet, empty_track_state
+
+        self._pipe_lag = lag
+        self._dstate = empty_track_state(self.cfg.n_keypoints)
+        self._pending = []
+        self._pipe_frames_since_kf = 0
+        self._refresh_trkset()
+
+    def _refresh_trkset(self):
+        from .pipeline import TrackSet
+
+        cap = self.cfg.capacity.tracking_points
+        pts, pos, desc, normal, dmax, dmin, valid = _select_tracking_set(
+            self.map, self.ref_kf, cap
+        )
+        min_obs = 3 if self.n_keyframes > 2 else 2
+        ref_tracked = _count_ref_tracked(self.map, self.ref_kf, min_obs)
+        self._trkset = TrackSet(
+            pts=pts, pos=pos, desc=desc, normal=normal, dmax=dmax,
+            dmin=dmin, valid=valid,
+            ref_tracked=ref_tracked.astype(jnp.float32),
+        )
+
+    def track_rgbd_pipelined(self, timestamp, gray, depth) -> None:
+        """Dispatch one frame; decisions drain in BATCHES.
+
+        The packed outcomes of several frames are fetched in one small
+        device->host read (tunnel round trips dominate), so steady-state
+        tracking performs ~1/lag of a round trip per frame.  Call
+        ``flush_pipeline()`` at sequence end (shutdown does)."""
+        from .pipeline import rgbd_frame_step
+
+        cfg = self.cfg
+        o = cfg.orb
+        self._dstate = rgbd_frame_step(
+            self._dstate,
+            jnp.asarray(gray, jnp.float32), jnp.asarray(depth, jnp.float32),
+            self._trkset, self.cam, self.inv_sigma2_tab,
+            jnp.float32(self.depth_threshold),
+            n_features=o.n_features, capacity=cfg.n_keypoints,
+            n_levels=o.n_levels, scale_factor=o.scale_factor,
+            th_high=o.ini_th_fast, th_low=o.min_th_fast,
+            min_motion=cfg.tracking.min_matches_motion,
+            min_local=cfg.tracking.min_matches_local_map,
+            close_tracked_max=cfg.tracking.kf_close_tracked_max,
+            close_untracked_min=cfg.tracking.kf_close_untracked_min,
+        )
+        self._pending.append((timestamp, self.frame_id))
+        self.frame_id += 1
+        if len(self._pending) >= self._pipe_lag:
+            self._drain_batch()
+
+    def flush_pipeline(self):
+        while getattr(self, "_pending", None):
+            self._drain_batch()
+
+    def _drain_batch(self):
+        """Fetch the info ring once; process every pending frame."""
+        from .pipeline import RING, FrameInfo
+
+        if not self._pending:
+            return
+        assert len(self._pending) <= RING, "pipeline lag exceeds ring size"
+        ring = np.asarray(self._dstate.ring_info)  # ONE small fetch
+        batch = self._pending
+        self._pending = []
+        for timestamp, fid in batch:
+            info = FrameInfo.unpack(ring[fid % RING])
+            self._drain_one(timestamp, info)
+
+    def _drain_one(self, timestamp, info):
+        from .pipeline import MODE_LOST, read_ring
+
+        ok = info.ok
+        mode = info.mode
+        self._pipe_frames_since_kf += 1
+        T_cw = info.T_cw
+        if ok:
+            T_ref = self._snapshot()["ref_pose"]
+            self.records.append(
+                SystemRecord(
+                    timestamp, self.ref_kf, T_cw @ np.linalg.inv(T_ref), False
+                )
+            )
+        else:
+            self.records.append(
+                SystemRecord(timestamp, self.ref_kf, np.eye(4), True)
+            )
+        self.tracker.n_inliers = int(info.n_inliers)
+        self.tracker.state = (
+            TrackingState.OK if ok else (
+                TrackingState.LOST if mode == MODE_LOST
+                else TrackingState.NOT_INITIALIZED
+            )
+        )
+        if mode == MODE_LOST:
+            self._pipelined_relocalize(timestamp, int(info.ring_slot))
+            return
+        if bool(info.need_kf) and ok and not self.localization_only:
+            max_frames = max(1, int(self.cfg.camera.fps))
+            first = self.n_keyframes == 0
+            if first or self._pipe_frames_since_kf >= 1:
+                feats, mpid, T = read_ring(self._dstate, int(info.ring_slot))
+                self._insert_keyframe(
+                    timestamp, feats, T, matched_mp=None if first else mpid
+                )
+                self._pipe_frames_since_kf = 0
+                self._refresh_trkset()
+
+    def _pipelined_relocalize(self, timestamp, slot):
+        """Synchronous relocalization from a ring frame; on success the
+        device state is reset to the recovered pose."""
+        from .pipeline import MODE_OK, read_ring
+        from .tracking import landmark_positions
+
+        if self.n_keyframes < 2:
+            return  # nothing meaningful to relocalize against yet
+        feats, _, _ = read_ring(self._dstate, slot)
+        if not self._relocalize(self.tracker, timestamp, feats):
+            return
+        T = self.tracker.T_cw
+        lms, lms_valid = landmark_positions(self.cam, feats, T)
+        self._dstate = self._dstate._replace(
+            mode=jnp.int32(MODE_OK),
+            T_cw=T,
+            velocity=jnp.eye(4),
+            last=feats,
+            last_lms=lms,
+            last_lms_valid=lms_valid,
+        )
+        if self.records:
+            self.records[-1] = SystemRecord(
+                timestamp, self.ref_kf,
+                np.asarray(T) @ np.linalg.inv(np.asarray(self.map.kf_pose[self.ref_kf])),
+                False,
+            )
+        self._refresh_trkset()
 
     # ------------------------------------------------------------------
     # trajectory export (src/system.cpp:193-261)
@@ -356,7 +541,8 @@ class SlamSystem:
         record that references it: T_c_ref <- T_c_ref @ T_c2p, ref <-
         parent.  Same math, eager instead of lazy, slot-reuse-safe.
         """
-        valid_after = np.asarray(self.map.kf_valid)
+        snap = self._snapshot()
+        valid_after = snap["kf_valid"]
         culled = set(np.where(valid_before & ~valid_after)[0].tolist())
         if not culled:
             return
@@ -365,8 +551,12 @@ class SlamSystem:
 
         for k in culled:
             self.retrieval = remove_keyframe(self.retrieval, k)
-        T_c2p = np.asarray(self.map.kf_T_c2p)
-        parent = np.asarray(self.map.parent)
+        parent = snap["parent"]
+        culled_list = sorted(culled)
+        rows = jax.device_get(
+            tuple(self.map.kf_T_c2p[k] for k in culled_list)
+        )
+        T_c2p = {k: r for k, r in zip(culled_list, rows)}
         if self.ref_kf in culled:
             p = int(parent[self.ref_kf])
             if p >= 0:
@@ -505,11 +695,16 @@ class SlamSystem:
         return (c1a or c1b or c1c) and c2
 
     def _alloc_kf_slot(self) -> Optional[int]:
-        kf_valid = np.asarray(self.map.kf_valid)
+        kf_valid = self._snapshot()["kf_valid"]
         free = np.where(~kf_valid)[0]
         if len(free) == 0:
             return None
-        return int(free[0])
+        slot = int(free[0])
+        # mark locally so back-to-back inserts between snapshot refreshes
+        # do not collide
+        self._snap["kf_valid"] = kf_valid.copy()
+        self._snap["kf_valid"][slot] = True
+        return slot
 
     def _insert_keyframe(self, timestamp, feats, T_cw, matched_mp=None, force=False):
         cfg = self.cfg
@@ -542,15 +737,28 @@ class SlamSystem:
         if self.n_keyframes > 2:
             # Synchronous local-mapping pipeline (localMapping.cpp:8-53).
             self.map = cull_map_points(self.map, jnp.int32(self.n_keyframes))
-            from .triangulate import create_new_points, fuse_neighbors
+            # ONE small snapshot after insertion: validity + the new
+            # keyframe's top-10 covisible neighbors (computed on device).
+            snap = self._refresh_snapshot(neighbors_of=slot)
+            before = snap["kf_valid"].copy()
+            neighbors = snap["neighbors"]
+            neighbors = [k for k in neighbors if k != slot]
+            from .triangulate import _fuse_into_kf, _triangulate_with_neighbor
 
-            self.map = create_new_points(
-                self.map, slot, self.n_keyframes, self.cam,
-                cfg.orb.scale_factor, cfg.orb.n_levels,
-            )
-            self.map = fuse_neighbors(
-                self.map, slot, self.cam, cfg.orb.scale_factor, cfg.orb.n_levels
-            )
+            for k2 in neighbors:
+                self.map = _triangulate_with_neighbor(
+                    self.map, slot, k2, self.n_keyframes, self.cam,
+                    cfg.orb.scale_factor, cfg.orb.n_levels,
+                )
+            for k2 in neighbors:
+                self.map = _fuse_into_kf(
+                    self.map, slot, k2, self.cam,
+                    cfg.orb.scale_factor, cfg.orb.n_levels,
+                )
+                self.map = _fuse_into_kf(
+                    self.map, k2, slot, self.cam,
+                    cfg.orb.scale_factor, cfg.orb.n_levels,
+                )
             self.map = local_bundle_adjust(
                 self.map, slot, self.cam, self.inv_sigma2_tab,
                 iters1=cfg.optim.local_ba_iters_1,
@@ -559,10 +767,13 @@ class SlamSystem:
                 fix_cap=cfg.capacity.local_ba_fixed_kf,
                 pts_cap=cfg.capacity.local_ba_max_points,
             )
-            before = np.asarray(self.map.kf_valid).copy()
             self.map = cull_keyframes(
                 self.map, slot, jnp.float32(self.depth_threshold)
             )
+            # second (final) snapshot: post-BA poses + culls
+            self._refresh_snapshot()
             self._rebase_records(before)
+        else:
+            self._refresh_snapshot()
         if self.loop_closer is not None and self.n_keyframes > 2:
             self.loop_closer.process(slot)

@@ -24,6 +24,7 @@ import numpy as np
 
 from ..config import SlamConfig, camera_intrinsics
 from ..geometry.camera import backproject
+from ..geometry.se3 import inv_T
 from ..ops.extractor import FrameFeatures, extract_orb
 from ..ops.pyramid import build_pyramid, level_sigma2
 from ..ops.stereo import fill_depth_from_rgbd, stereo_match

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry.camera import CameraIntrinsics
+from ..geometry.se3 import inv_T
 from ..ops.hamming import INVALID_DIST, masked_distance_matrix
 from .map_state import MapState, add_observations, alloc_slots, refresh_points
 from .matchers import predict_scale_level, project_sources
@@ -46,7 +47,7 @@ def _fundamental_matrix(cam: CameraIntrinsics, T1_cw, T2_cw):
     LocalMapping::computeFundamentalMatrix_first2second
     (localMapping.cpp:295-306).
     """
-    T21 = T2_cw @ jnp.linalg.inv(T1_cw)
+    T21 = T2_cw @ inv_T(T1_cw)
     R, t = T21[:3, :3], T21[:3, 3]
     tx = jnp.array(
         [[0.0, -t[2], t[1]], [t[2], 0.0, -t[0]], [-t[1], t[0], 0.0]]
