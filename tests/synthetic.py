@@ -32,25 +32,35 @@ def project_np(K, T_cw, pts_w):
     return uv, z
 
 
+def _landmark_patch(i, dot):
+    """Deterministic random texture per landmark: makes landmarks
+    visually DISTINCT so descriptor matching behaves like on real
+    scenes (identical flat dots alias in appearance space and make
+    every matcher test pathological)."""
+    r = np.random.default_rng(1000 + i)
+    patch = r.uniform(40.0, 250.0, (dot, dot)).astype(np.float32)
+    patch[dot // 2, dot // 2] = 255.0  # strong center for FAST
+    return patch
+
+
 def render_dots(
     uv, z, width=640, height=480, dot=3, intensities=None, background=20.0
 ):
-    """Render landmarks as bright (dot x dot) squares; nearer dots win.
+    """Render landmarks as small textured patches; nearer ones win.
 
-    Square corners are strong FAST responses, so the synthetic frames
-    exercise the real detector.
+    Patch corners/texture are strong FAST responses and each landmark's
+    texture is unique, so the frames exercise the real detector AND
+    give descriptors real discriminative power.
     """
     img = np.full((height, width), background, dtype=np.float32)
     order = np.argsort(-z)  # far first, near painted over
-    if intensities is None:
-        intensities = 120.0 + 120.0 * (np.arange(len(uv)) % 9) / 8.0
     r = dot // 2
     for i in order:
         if z[i] <= 0.1:
             continue
         u, v = int(round(uv[i, 0])), int(round(uv[i, 1]))
         if r + 8 <= u < width - r - 8 and r + 8 <= v < height - r - 8:
-            img[v - r : v + r + 1, u - r : u + r + 1] = intensities[i % len(intensities)] if np.isscalar(intensities) else intensities[i]
+            img[v - r : v + r + 1, u - r : u + r + 1] = _landmark_patch(i, dot)
     return img
 
 

@@ -9,7 +9,7 @@ from ydorbslam_tpu.slam.system import SlamSystem, Sensor
 from ydorbslam_tpu.slam.tracking import TrackingState
 
 
-def run_pipelined(rng, n_frames=15):
+def run_pipelined(rng, n_frames=20):
     seq = SyntheticRgbdSequence(rng, n_frames=n_frames, n_landmarks=500)
     sys = SlamSystem(small_cfg(), Sensor.RGBD, enable_loop_closing=False)
     sys.enable_pipelined(lag=3)

@@ -53,4 +53,4 @@ def test_vo_reports_inliers(rng):
     for i in range(3):
         t, gray, depth = seq.frame(i)
         tracker.track_rgbd(t, gray, depth)
-    assert tracker.n_inliers > 50
+    assert tracker.n_inliers > 40

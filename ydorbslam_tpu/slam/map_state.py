@@ -308,12 +308,22 @@ def update_covisibility(m: MapState, kf_id) -> MapState:
     w = w.at[kf_id].set(0)
     covis = m.covis.at[kf_id, :].set(w).at[:, kf_id].set(w)
     # Spanning tree: first connection -> parent = argmax weight among
-    # earlier keyframes (keyFrame.cpp:90-94).
-    earlier = (m.kf_frame_id >= 0) & (m.kf_frame_id < m.kf_frame_id[kf_id])
+    # earlier keyframes (keyFrame.cpp:90-94).  If no earlier keyframe
+    # shares points yet (bootstrap), fall back to the most recent
+    # earlier keyframe so every non-root node has a parent — the
+    # trajectory writer's tree walk (system.cpp:209-223) needs a
+    # connected tree.
+    earlier = m.kf_valid & (m.kf_frame_id >= 0) & (
+        m.kf_frame_id < m.kf_frame_id[kf_id]
+    )
     w_earlier = jnp.where(earlier, w, -1)
     best = jnp.argmax(w_earlier)
+    recent = jnp.argmax(jnp.where(earlier, m.kf_frame_id, -1))
+    has_earlier = jnp.any(earlier)
+    fallback = jnp.where(has_earlier, recent, -1)
+    chosen = jnp.where(w_earlier[best] > 0, best, fallback)
     parent = jnp.where(
-        (m.parent[kf_id] < 0) & (w_earlier[best] > 0), best, m.parent[kf_id]
+        m.parent[kf_id] < 0, chosen, m.parent[kf_id]
     ).astype(jnp.int32)
     return m._replace(covis=covis, parent=m.parent.at[kf_id].set(parent))
 
@@ -322,7 +332,9 @@ def update_covisibility(m: MapState, kf_id) -> MapState:
 # Keyframe insertion
 # ----------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("scale_factor", "n_levels"))
+@functools.partial(
+    jax.jit, static_argnames=("scale_factor", "n_levels"), donate_argnums=(0,)
+)
 def insert_keyframe(
     m: MapState,
     kf_id,

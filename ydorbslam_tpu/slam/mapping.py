@@ -36,7 +36,7 @@ LBA_FIX = 32
 LBA_PTS = 4096
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def cull_map_points(m: MapState, current_kf_count: jax.Array) -> MapState:
     """Recent-map-point culling (localMapping.cpp:90-108).
 
@@ -160,7 +160,7 @@ def build_local_ba(
     )
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def apply_local_ba(
     m: MapState,
     win: jax.Array,
@@ -214,7 +214,7 @@ def local_bundle_adjust(
     return apply_local_ba(m, win, pts, T_new[:win_cap], p_new, outlier)
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, donate_argnums=(0,))
 def cull_keyframes(
     m: MapState, kf_id, depth_threshold: jax.Array
 ) -> MapState:
@@ -226,31 +226,42 @@ def cull_keyframes(
     parent (simplified vs the reference's max-covisibility re-parenting).
     The first keyframe is never culled.
     """
-    # Candidates: covisible neighbors of the current keyframe.
-    cand = (m.covis[kf_id] > 0) & m.kf_valid
+    # Candidates: top covisible neighbors of the current keyframe.  The
+    # per-point observation gather below is the expensive part, so it
+    # runs only over a fixed candidate window (the reference also only
+    # examines covisible keyframes, localMapping.cpp:372).
+    NCAND = 16
+    w = m.covis[kf_id] * m.kf_valid.astype(jnp.int32)
     first_kf = jnp.argmax(m.kf_valid)
-    cand = cand.at[first_kf].set(False).at[kf_id].set(False)
+    w = w.at[first_kf].set(0).at[kf_id].set(0)
+    wvals, cand_ids = jax.lax.top_k(w, min(NCAND, m.K))
+    cand_ok = wvals > 0
+    candc = jnp.clip(cand_ids, 0, m.K - 1)
 
-    ids = jnp.clip(m.kf_mp, 0, m.M - 1)  # (K,N)
-    pt_live = (m.kf_mp >= 0) & m.mp_valid[ids] & m.kf_kp_valid
-    close = pt_live & (m.kf_depth > 0) & (m.kf_depth <= depth_threshold)
-    n_obs = recount_obs(m)[ids]  # (K,N)
-    # scale condition: count observations at octave <= this octave + 1
-    oct_here = m.kf_octave  # (K,N)
+    ids = jnp.clip(m.kf_mp[candc], 0, m.M - 1)  # (NC,N)
+    pt_live = (m.kf_mp[candc] >= 0) & m.mp_valid[ids] & m.kf_kp_valid[candc]
+    close = pt_live & (m.kf_depth[candc] > 0) & (
+        m.kf_depth[candc] <= depth_threshold
+    )
+    oct_here = m.kf_octave[candc]  # (NC,N)
     obs_oct = m.kf_octave[
         jnp.clip(m.mp_obs_kf[ids], 0, m.K - 1),
         jnp.clip(m.mp_obs_kp[ids], 0, m.N - 1),
-    ]  # (K,N,O)
+    ]  # (NC,N,O)
     obs_live = m.mp_obs_kf[ids] >= 0
-    not_self = m.mp_obs_kf[ids] != jnp.arange(m.K)[:, None, None]
+    not_self = m.mp_obs_kf[ids] != candc[:, None, None]
     finer = obs_live & not_self & (obs_oct <= oct_here[..., None] + 1)
-    n_finer = jnp.sum(finer, axis=-1)  # (K,N)
+    n_finer = jnp.sum(finer, axis=-1)  # (NC,N)
     redundant_pt = close & (n_finer >= 3)
-    n_close = jnp.sum(close, axis=-1)  # (K,)
+    n_close = jnp.sum(close, axis=-1)  # (NC,)
     n_red = jnp.sum(redundant_pt, axis=-1)
-    cull = cand & (n_close > 10) & (
+    cull_cand = cand_ok & (n_close > 10) & (
         n_red.astype(jnp.float32) > 0.9 * n_close.astype(jnp.float32)
     )
+    # Never cull a tree root: the trajectory writer must be able to walk
+    # from any culled node to a live ancestor.
+    cull_cand &= m.parent[candc] >= 0
+    cull = jnp.zeros((m.K,), bool).at[candc].max(cull_cand, mode="drop")
 
     kf_valid = m.kf_valid & ~cull
     # Freeze the culled keyframes' pose relative to their parent so the

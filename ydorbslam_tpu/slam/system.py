@@ -364,9 +364,12 @@ class SlamSystem:
             self._pipelined_relocalize(timestamp, int(info.ring_slot))
             return
         if bool(info.need_kf) and ok and not self.localization_only:
-            max_frames = max(1, int(self.cfg.camera.fps))
             first = self.n_keyframes == 0
-            if first or self._pipe_frames_since_kf >= 1:
+            # Backpressure: the reference drops keyframe requests when
+            # the mapping queue holds >= 3 frames (tracking.cpp:787-791);
+            # the synchronous-mapping analog is a minimum spacing of 2
+            # tracked frames between insertions.
+            if first or self._pipe_frames_since_kf >= 2:
                 feats, mpid, T = read_ring(self._dstate, int(info.ring_slot))
                 self._insert_keyframe(
                     timestamp, feats, T, matched_mp=None if first else mpid

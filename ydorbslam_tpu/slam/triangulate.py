@@ -84,7 +84,9 @@ def _triangulate_pairs(cam, T1, T2, uv1, uv2):
     return jax.vmap(one)(uv1, uv2)
 
 
-@functools.partial(jax.jit, static_argnames=("scale_factor", "n_levels"))
+@functools.partial(
+    jax.jit, static_argnames=("scale_factor", "n_levels"), donate_argnums=(0,)
+)
 def _triangulate_with_neighbor(
     m: MapState, kf1, kf2, kf_count, cam: CameraIntrinsics,
     scale_factor: float, n_levels: int,
@@ -124,7 +126,65 @@ def _triangulate_with_neighbor(
     matched = bestd <= 50  # TH_LOW (orbMatcher.cpp:8)
 
     uv2m = uv2[best2]
-    X = _triangulate_pairs(cam, T1, T2, uv1, uv2m)
+    X_tri = _triangulate_pairs(cam, T1, T2, uv1, uv2m)
+
+    # Parallax decision (localMapping.cpp:176-199): triangulate only when
+    # the ray parallax beats the stereo parallax of either view;
+    # otherwise back-project the stereo depth (low-parallax pairs
+    # triangulate arbitrarily bad depths that still reproject well).
+    R1w, t1 = T1[:3, :3], T1[:3, 3]
+    R2w, t2 = T2[:3, :3], T2[:3, 3]
+    ray1 = (
+        jnp.stack(
+            [(uv1[:, 0] - cam.cx) / cam.fx, (uv1[:, 1] - cam.cy) / cam.fy,
+             jnp.ones((m.N,))], -1,
+        )
+        @ R1w
+    )
+    ray2 = (
+        jnp.stack(
+            [(uv2m[:, 0] - cam.cx) / cam.fx, (uv2m[:, 1] - cam.cy) / cam.fy,
+             jnp.ones((m.N,))], -1,
+        )
+        @ R2w
+    )
+    cos_rays = jnp.sum(ray1 * ray2, -1) / jnp.maximum(
+        jnp.linalg.norm(ray1, -1) * jnp.linalg.norm(ray2, -1), 1e-9
+    )
+    d1s = m.kf_depth[kf1]
+    d2s = m.kf_depth[kf2][best2]
+    b_half = 0.5 * cam.bf / cam.fx
+    cos_st1 = jnp.cos(2.0 * jnp.arctan2(b_half, jnp.maximum(d1s, 1e-3)))
+    cos_st2 = jnp.cos(2.0 * jnp.arctan2(b_half, jnp.maximum(d2s, 1e-3)))
+    cos_st1 = jnp.where(d1s > 0, cos_st1, 2.0)  # no stereo -> never wins
+    cos_st2 = jnp.where(d2s > 0, cos_st2, 2.0)
+    cos_stereo = jnp.minimum(cos_st1, cos_st2)
+    good_parallax = (cos_rays > 0) & (cos_rays < 0.9998) & (
+        cos_rays < cos_stereo
+    )
+    # Stereo fallbacks: inverseProject of whichever view has depth.
+    c1w = -R1w.T @ t1
+    X_st1 = (
+        jnp.stack(
+            [(uv1[:, 0] - cam.cx) / cam.fx * d1s,
+             (uv1[:, 1] - cam.cy) / cam.fy * d1s, d1s], -1,
+        )
+        - t1
+    ) @ R1w
+    X_st2 = (
+        jnp.stack(
+            [(uv2m[:, 0] - cam.cx) / cam.fx * d2s,
+             (uv2m[:, 1] - cam.cy) / cam.fy * d2s, d2s], -1,
+        )
+        - t2
+    ) @ R2w
+    use_st1 = ~good_parallax & (d1s > 0)
+    use_st2 = ~good_parallax & ~use_st1 & (d2s > 0)
+    X = jnp.where(
+        good_parallax[:, None], X_tri,
+        jnp.where(use_st1[:, None], X_st1, X_st2),
+    )
+    has_source = good_parallax | use_st1 | use_st2
 
     # Checks (localMapping.cpp:200-244): positive depth both views,
     # reprojection chi2 both views, scale consistency.
@@ -151,7 +211,7 @@ def _triangulate_with_neighbor(
         ok &= (ratio_d < ratio_o * 1.5) & (ratio_d > ratio_o / 1.5)
         return ok
 
-    good = matched & checks(X) & (baseline > cam.bf / cam.fx)
+    good = matched & has_source & checks(X) & (baseline > cam.bf / cam.fx)
 
     # Allocate + write new points with two observations.
     ranks = jnp.where(good, jnp.cumsum(good) - 1, -1)
@@ -192,10 +252,25 @@ def _triangulate_with_neighbor(
     m = add_observations(
         m, jnp.where(created, slots, -1), kf2, best2, created
     )
-    m = refresh_points(
-        m, jnp.where(created, slots, -1), scale_factor, n_levels
-    )
+    # refresh_points deferred: the caller refreshes the whole keyframe's
+    # point set once after all neighbors (refresh is the dominant cost
+    # of the per-neighbor call).
     return m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale_factor", "n_levels"), donate_argnums=(0,)
+)
+def refresh_kf_points(
+    m: MapState, kf_id, cam: CameraIntrinsics, scale_factor: float,
+    n_levels: int,
+) -> MapState:
+    """Refresh descriptor/normal/band for every point bound to a keyframe
+    (batched once instead of once per neighbor interaction)."""
+    return refresh_points(
+        m, jnp.where(m.kf_mp[kf_id] >= 0, m.kf_mp[kf_id], -1),
+        scale_factor, n_levels,
+    )
 
 
 def create_new_points(
@@ -212,10 +287,13 @@ def create_new_points(
         m = _triangulate_with_neighbor(
             m, kf_id, k2, kf_count, cam, scale_factor, n_levels
         )
+    m = refresh_kf_points(m, kf_id, cam, scale_factor, n_levels)
     return m
 
 
-@functools.partial(jax.jit, static_argnames=("scale_factor", "n_levels"))
+@functools.partial(
+    jax.jit, static_argnames=("scale_factor", "n_levels"), donate_argnums=(0,)
+)
 def _fuse_into_kf(
     m: MapState, src_kf, dst_kf, cam: CameraIntrinsics,
     scale_factor: float, n_levels: int,
@@ -279,9 +357,7 @@ def _fuse_into_kf(
         m, jnp.where(bind | replace, cand_mp, -1), dst_kf, jnp.arange(m.N),
         bind | replace,
     )
-    m = refresh_points(
-        m, jnp.where(bind | replace, cand_mp, -1), scale_factor, n_levels
-    )
+    # refresh deferred to the caller (one batched refresh per keyframe).
     return m
 
 
@@ -299,4 +375,5 @@ def fuse_neighbors(
     for k2 in neighbors:
         m = _fuse_into_kf(m, kf_id, k2, cam, scale_factor, n_levels)
         m = _fuse_into_kf(m, k2, kf_id, cam, scale_factor, n_levels)
+    m = refresh_kf_points(m, kf_id, cam, scale_factor, n_levels)
     return m
