@@ -246,11 +246,34 @@ class SlamSystem:
         if getattr(self, "_pending", None):
             self.flush_pipeline()
 
+    def update_calibration(self, yaml_path: str):
+        """Runtime re-calibration from a settings YAML
+        (Tracking::changeIntParMat, tracking.cpp:128-146)."""
+        import dataclasses
+
+        from ..config import camera_intrinsics, load_config
+
+        self.cfg = load_config(yaml_path, base=self.cfg)
+        self.cam = camera_intrinsics(self.cfg)
+        self.tracker.cam = self.cam
+        self.depth_threshold = (
+            self.cfg.depth.th_depth * self.cfg.camera.bf / self.cfg.camera.fx
+        )
+
     def tracking_state(self) -> TrackingState:
         return self.tracker.state
 
     def tracked_map_points(self) -> int:
+        """System::getTrackedMapPoints analog (system.hpp:74-77)."""
         return self.tracker.n_inliers
+
+    def tracked_keypoints(self):
+        """System::getTrackedKeyPoints analog: the last frame's keypoint
+        coordinates + validity."""
+        f = self.tracker.last_feats
+        if f is None:
+            return None
+        return np.asarray(f.uv), np.asarray(f.valid)
 
     def map_changed_index(self) -> int:
         """Big-change counter analog (map.hpp:46-47)."""
@@ -468,6 +491,14 @@ class SlamSystem:
                              np.eye(4), not ok)
             )
         self.frames_since_kf += 1
+        # Auto-reset: lost right after initialization with a tiny map
+        # (tracking.cpp:307-312: <= 5 keyframes).
+        if (
+            not ok
+            and self.tracker.state == TrackingState.LOST
+            and 0 < self.n_keyframes <= 5
+        ):
+            self.reset()
 
     def _local_map_hook(self, tracker: Tracker, timestamp, feats) -> bool:
         """Tracking::trackLocalMap (tracking.cpp:605-637) + keyframe
