@@ -138,7 +138,12 @@ def stereo_match(
     # note: shift best_ur into undistorted space by the same undistortion
     # delta as the left keypoint (rectified stereo shares the row map).
     disparity = jnp.clip(disparity, -1.0, None)
-    pos_ok = (disparity > 0.0) & (disparity < max_d)
+    # Minimum disparity of 0.3px caps depth at ~3.3*fx baselines; the
+    # near-zero disparities a dense matcher occasionally produces would
+    # otherwise create points at astronomical depth that destabilize
+    # float32 bundle adjustment (the reference's f64 g2o tolerates them
+    # and culls later; we gate at the source).
+    pos_ok = (disparity > 0.3) & (disparity < max_d)
     depth = jnp.where(pos_ok, cam.bf / jnp.maximum(disparity, 1e-6), -1.0)
 
     ok = feats_l.valid & cand_ok & sub_ok & pos_ok

@@ -272,11 +272,23 @@ def _lm_iteration(cam, T_all, p_w, prob: BAProblem, active, lam, use_huber):
     bs = bs * fmask[:, None]
 
     dxc = -_pcg_solve_blocks(S, bs)
+    # Sanitize: a breakdown in f32 CG (division by a tiny curvature) must
+    # not poison the state — the LM accept/reject can only veto steps
+    # whose COST is comparable, not NaN.
+    dxc = jnp.where(jnp.isfinite(dxc), dxc, 0.0)
+    dxc_norm = jnp.linalg.norm(dxc, axis=-1, keepdims=True)
+    dxc = jnp.where(dxc_norm < 1e3, dxc, 0.0)
 
     # Back-substitute points: dxp = -Hpp^-1 (bp + sum_o B_o^T dxc[cam_o])
     dxc_obs = dxc[camc]  # (P,O,6)
     corr = jnp.einsum("poij,poi->pj", B, dxc_obs)  # (P,3)
     dxp = -jnp.einsum("pij,pj->pi", Hpp_inv, bp + corr)
+    # Trust-region guard: near-singular landmark Hessians (e.g. a single
+    # far observation) can produce astronomical steps whose cost overflows
+    # float32 into inf/NaN before the accept/reject test can veto them.
+    dxp = jnp.where(jnp.isfinite(dxp), dxp, 0.0)
+    dxp_norm = jnp.linalg.norm(dxp, axis=-1, keepdims=True)
+    dxp = jnp.where(dxp_norm < 1e3, dxp, 0.0)
 
     T_new = jax.vmap(lambda d, T: se3_exp(d) @ T)(dxc, T_all)
     T_new = jnp.where(free[:, None, None], T_new, T_all)

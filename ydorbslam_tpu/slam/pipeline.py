@@ -154,6 +154,80 @@ def rgbd_frame_step(
         th_high=th_high, th_low=th_low, has_distortion=False,
     )
     feats = fill_depth_from_rgbd(feats, depth, cam)
+    return _track_core(
+        state, feats, trkset, cam, inv_sigma2_tab, depth_threshold,
+        n_levels, scale_factor, min_motion, min_local,
+        close_tracked_max, close_untracked_min,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_features", "capacity", "n_levels", "scale_factor",
+        "th_high", "th_low", "min_motion", "min_local",
+        "close_tracked_max", "close_untracked_min",
+    ),
+    donate_argnums=(0,),
+)
+def stereo_frame_step(
+    state: TrackState,
+    gray_l: jax.Array,
+    gray_r: jax.Array,
+    trkset: TrackSet,
+    cam: CameraIntrinsics,
+    inv_sigma2_tab: jax.Array,
+    depth_threshold: jax.Array,
+    n_features: int = 1000,
+    capacity: int = 1024,
+    n_levels: int = 8,
+    scale_factor: float = 1.2,
+    th_high: int = 20,
+    th_low: int = 7,
+    min_motion: int = 10,
+    min_local: int = 30,
+    close_tracked_max: int = 100,
+    close_untracked_min: int = 70,
+):
+    """One full STEREO tracking step on device: dual extraction +
+    row-band stereo association + the shared tracking core."""
+    from ..ops.pyramid import build_pyramid
+    from ..ops.stereo import stereo_match
+
+    fl = extract_orb(
+        gray_l, cam, n_features=n_features, capacity=capacity,
+        n_levels=n_levels, scale_factor=scale_factor,
+        th_high=th_high, th_low=th_low, has_distortion=False,
+    )
+    fr = extract_orb(
+        gray_r, cam, n_features=n_features, capacity=capacity,
+        n_levels=n_levels, scale_factor=scale_factor,
+        th_high=th_high, th_low=th_low, has_distortion=False,
+    )
+    pl_ = build_pyramid(gray_l, n_levels, scale_factor)
+    pr_ = build_pyramid(gray_r, n_levels, scale_factor)
+    feats = stereo_match(fl, fr, pl_, pr_, cam, n_levels, scale_factor)
+    return _track_core(
+        state, feats, trkset, cam, inv_sigma2_tab, depth_threshold,
+        n_levels, scale_factor, min_motion, min_local,
+        close_tracked_max, close_untracked_min,
+    )
+
+
+def _track_core(
+    state: TrackState,
+    feats: FrameFeatures,
+    trkset: TrackSet,
+    cam: CameraIntrinsics,
+    inv_sigma2_tab: jax.Array,
+    depth_threshold: jax.Array,
+    n_levels: int,
+    scale_factor: float,
+    min_motion: int,
+    min_local: int,
+    close_tracked_max: int,
+    close_untracked_min: int,
+):
     n = feats.valid.shape[0]
     n_depth = jnp.sum(feats.valid & (feats.depth > 0))
 

@@ -340,6 +340,30 @@ class SlamSystem:
         if len(self._pending) >= self._pipe_lag:
             self._drain_batch()
 
+    def track_stereo_pipelined(self, timestamp, gray_l, gray_r) -> None:
+        """Stereo analog of track_rgbd_pipelined."""
+        from .pipeline import stereo_frame_step
+
+        cfg = self.cfg
+        o = cfg.orb
+        self._dstate = stereo_frame_step(
+            self._dstate,
+            jnp.asarray(gray_l, jnp.float32), jnp.asarray(gray_r, jnp.float32),
+            self._trkset, self.cam, self.inv_sigma2_tab,
+            jnp.float32(self.depth_threshold),
+            n_features=o.n_features, capacity=cfg.n_keypoints,
+            n_levels=o.n_levels, scale_factor=o.scale_factor,
+            th_high=o.ini_th_fast, th_low=o.min_th_fast,
+            min_motion=cfg.tracking.min_matches_motion,
+            min_local=cfg.tracking.min_matches_local_map,
+            close_tracked_max=cfg.tracking.kf_close_tracked_max,
+            close_untracked_min=cfg.tracking.kf_close_untracked_min,
+        )
+        self._pending.append((timestamp, self.frame_id))
+        self.frame_id += 1
+        if len(self._pending) >= self._pipe_lag:
+            self._drain_batch()
+
     def flush_pipeline(self):
         while getattr(self, "_pending", None):
             self._drain_batch()
