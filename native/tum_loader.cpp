@@ -176,6 +176,7 @@ struct Loader {
   std::thread worker;
   std::atomic<bool> stop{false};
   size_t next_decode = 0;
+  size_t in_flight = 0;  // frames grabbed by the worker, not yet queued
 
   void run() {
     while (!stop) {
@@ -191,6 +192,7 @@ struct Loader {
           continue;
         }
         idx = next_decode++;
+        ++in_flight;
       }
       Frame fr;
       fr.timestamp = timestamps[idx];
@@ -208,6 +210,7 @@ struct Loader {
       {
         std::lock_guard<std::mutex> lk(mu);
         queue.push_back(std::move(fr));
+        --in_flight;
       }
       cv_has.notify_one();
     }
@@ -258,8 +261,10 @@ int tum_loader_next(void* handle, double* timestamp, float* gray,
   {
     std::unique_lock<std::mutex> lk(L->mu);
     L->cv_has.wait(lk, [&] {
+      // EOF only when everything dispatched AND delivered: a frame can
+      // be mid-decode (grabbed but not yet queued).
       return L->stop || !L->queue.empty() ||
-             (L->next_decode >= L->timestamps.size() && L->queue.empty());
+             (L->next_decode >= L->timestamps.size() && L->in_flight == 0);
     });
     if (L->queue.empty()) return 0;
     fr = std::move(L->queue.front());

@@ -36,10 +36,18 @@ def _landmark_patch(i, dot):
     """Deterministic random texture per landmark: makes landmarks
     visually DISTINCT so descriptor matching behaves like on real
     scenes (identical flat dots alias in appearance space and make
-    every matcher test pathological)."""
+    every matcher test pathological).
+
+    The texture is PEAKED: a dominant bright center so FAST/NMS selects
+    one stable keypoint per landmark (multiple equally-strong corners
+    would create systematic multi-keypoint misassociations), with dim
+    unique surroundings feeding descriptor distinctiveness."""
     r = np.random.default_rng(1000 + i)
-    patch = r.uniform(40.0, 250.0, (dot, dot)).astype(np.float32)
-    patch[dot // 2, dot // 2] = 255.0  # strong center for FAST
+    patch = r.uniform(30.0, 130.0, (dot, dot)).astype(np.float32)
+    c = dot // 2
+    if dot >= 5:
+        patch[c - 1 : c + 2, c - 1 : c + 2] = r.uniform(150.0, 250.0, (3, 3))
+    patch[c, c] = 255.0
     return patch
 
 
