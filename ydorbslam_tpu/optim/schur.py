@@ -296,6 +296,242 @@ def _lm_iteration(cam, T_all, p_w, prob: BAProblem, active, lam, use_huber):
     return T_new, p_new
 
 
+# ---------------------------------------------------------------------
+# Flat (lane-major) LM path.
+#
+# The vmapped formulation above keeps per-observation tensors shaped
+# (P, O, 3, 6) — the minor dimensions are 3/6, so every elementwise op
+# runs on 128-wide TPU lanes at <5% occupancy.  The production path
+# below flattens observations to Q = P*O and unrolls the small-matrix
+# algebra into individual (Q,) component arrays: all elementwise work is
+# lane-dense, the camera reduction is ONE (C, Q) @ (Q, 42) matmul
+# against the one-hot incidence built once per solve, and only the
+# point-batched Schur coupling keeps an einsum.  Numerically identical
+# to _lm_iteration (same order of operations per component).
+# ---------------------------------------------------------------------
+
+
+class _FlatObs(NamedTuple):
+    """Loop-invariant flattened observation data (Q = P*O)."""
+
+    cam_idx: jax.Array  # (Q,) clipped camera index
+    p_idx: jax.Array  # (Q,) point index
+    obs_u: jax.Array  # (Q,)
+    obs_v: jax.Array  # (Q,)
+    obs_r: jax.Array  # (Q,)
+    inv_s2: jax.Array  # (Q,)
+    stereo: jax.Array  # (Q,) bool
+    base_ok: jax.Array  # (Q,) bool: obs_valid & cam>=0 & pt_valid
+    E: jax.Array  # (Q, C) one-hot obs->camera incidence (f32)
+
+
+def _flatten_obs(prob: BAProblem) -> _FlatObs:
+    C, P, O = prob.C, prob.P, prob.obs_cam.shape[1]
+    Q = P * O
+    cam_f = prob.obs_cam.reshape(Q)
+    camc = jnp.clip(cam_f, 0, C - 1)
+    ok = (cam_f >= 0) & prob.obs_valid.reshape(Q) & jnp.repeat(
+        prob.pt_valid, O
+    )
+    E = (
+        (camc[:, None] == jnp.arange(C)[None, :]) & ok[:, None]
+    ).astype(jnp.float32)
+    uvr = prob.obs_uvr.reshape(Q, 3)
+    return _FlatObs(
+        cam_idx=camc,
+        p_idx=jnp.repeat(jnp.arange(P, dtype=jnp.int32), O),
+        obs_u=uvr[:, 0],
+        obs_v=uvr[:, 1],
+        obs_r=uvr[:, 2],
+        inv_s2=prob.obs_inv_sigma2.reshape(Q),
+        stereo=prob.obs_stereo.reshape(Q),
+        base_ok=ok,
+        E=E,
+    )
+
+
+def _flat_project(cam, T_all, p_w, f: _FlatObs):
+    """Componentwise projection at every observation.
+
+    Returns dict of (Q,) arrays: camera-frame point, residuals, R rows.
+    """
+    Tf = T_all.reshape(T_all.shape[0], 16)[f.cam_idx]  # (Q,16) row gather
+    R00, R01, R02, t0 = Tf[:, 0], Tf[:, 1], Tf[:, 2], Tf[:, 3]
+    R10, R11, R12, t1 = Tf[:, 4], Tf[:, 5], Tf[:, 6], Tf[:, 7]
+    R20, R21, R22, t2 = Tf[:, 8], Tf[:, 9], Tf[:, 10], Tf[:, 11]
+    pw = p_w[f.p_idx]  # (Q,3)
+    X, Y, Z = pw[:, 0], pw[:, 1], pw[:, 2]
+    x = R00 * X + R01 * Y + R02 * Z + t0
+    y = R10 * X + R11 * Y + R12 * Z + t1
+    zr = R20 * X + R21 * Y + R22 * Z + t2
+    z = jnp.maximum(zr, 1e-6)
+    iz = 1.0 / z
+    u = cam.fx * x * iz + cam.cx
+    v = cam.fy * y * iz + cam.cy
+    ur = u - cam.bf * iz
+    return dict(
+        x=x, y=y, z=z, zr=zr, iz=iz,
+        ru=f.obs_u - u, rv=f.obs_v - v, rr=f.obs_r - ur,
+        R=(R00, R01, R02, R10, R11, R12, R20, R21, R22),
+    )
+
+
+def _flat_weights(f: _FlatObs, zr, active_flat):
+    """Per-component weights (wu, wv, wr) and the scalar obs mask."""
+    mask = f.base_ok & active_flat & (zr > 1e-3)
+    mf = mask.astype(jnp.float32)
+    wu = f.inv_s2 * mf
+    wr = wu * f.stereo.astype(jnp.float32)
+    return wu, wu, wr, mask
+
+
+def _flat_chi2(pr, wu, wv, wr):
+    return pr["ru"] ** 2 * wu + pr["rv"] ** 2 * wv + pr["rr"] ** 2 * wr
+
+
+def _flat_cost(cam, T_all, p_w, f: _FlatObs, active_flat, use_huber, stereo_delta2):
+    """Total robustified cost (residual-only pass: no Jacobians)."""
+    pr = _flat_project(cam, T_all, p_w, f)
+    wu, wv, wr, mask = _flat_weights(f, pr["zr"], active_flat)
+    chi2 = _flat_chi2(pr, wu, wv, wr)
+    cost = jnp.where(use_huber, huber_cost(chi2, stereo_delta2), chi2)
+    return jnp.sum(cost * mask.astype(jnp.float32))
+
+
+def _flat_lm_iteration(
+    cam, T_all, p_w, prob: BAProblem, f: _FlatObs, active_flat, lam, use_huber
+):
+    """One damped LM step in flat layout: returns (T_new, p_new)."""
+    C, P, O = prob.C, prob.P, prob.obs_cam.shape[1]
+    Q = f.cam_idx.shape[0]
+    pr = _flat_project(cam, T_all, p_w, f)
+    wu, wv, wr, mask = _flat_weights(f, pr["zr"], active_flat)
+    delta2 = jnp.where(f.stereo, CHI2_STEREO, CHI2_MONO)
+    chi2 = _flat_chi2(pr, wu, wv, wr)
+    hub = jnp.where(use_huber, huber_scale(chi2, delta2), 1.0)
+    wu, wv, wr = wu * hub, wv * hub, wr * hub
+    x, y, z, iz = pr["x"], pr["y"], pr["z"], pr["iz"]
+    ru, rv, rr = pr["ru"], pr["rv"], pr["rr"]
+    R00, R01, R02, R10, R11, R12, R20, R21, R22 = pr["R"]
+    iz2 = iz * iz
+    a = cam.fx * iz          # du/dx
+    c3 = -cam.fx * x * iz2   # du/dz
+    d = cam.fy * iz          # dv/dy
+    e = -cam.fy * y * iz2    # dv/dz
+    cr = c3 + cam.bf * iz2   # dur/dz
+
+    # J_pose rows (3 x 6), J = -d pred / d xi, xi = [rho, phi], left-mult.
+    zero = jnp.zeros_like(a)
+    Ju = (-a, zero, -c3, -c3 * y, -(a * z - c3 * x), a * y)
+    Jv = (zero, -d, -e, -(-d * z + e * y), e * x, -d * x)
+    Jr = (-a, zero, -cr, -cr * y, -(a * z - cr * x), a * y)
+    # J_point rows (3 x 3): -(duvr/dpc) @ R.
+    Pu = tuple(-(a * R0j + c3 * R2j) for R0j, R2j in ((R00, R20), (R01, R21), (R02, R22)))
+    Pv = tuple(-(d * R1j + e * R2j) for R1j, R2j in ((R10, R20), (R11, R21), (R12, R22)))
+    Pr_ = tuple(-(a * R0j + cr * R2j) for R0j, R2j in ((R00, R20), (R01, R21), (R02, R22)))
+
+    def rowsum(Ai, Bj):
+        """sum_c w_c * A_c[i] * B_c[j] for the 3 residual rows."""
+        return wu * Ai[0] * Bj[0] + wv * Ai[1] * Bj[1] + wr * Ai[2] * Bj[2]
+
+    Jp_cols = tuple(zip(Pu, Pv, Pr_))  # Jp_cols[j] = (Pu[j], Pv[j], Pr[j])
+    Jc_cols = tuple(zip(Ju, Jv, Jr))
+
+    # ---- point blocks: Hpp (P,3,3), bp (P,3) via (P,O) reductions ----
+    def osum(q):
+        return jnp.sum(q.reshape(P, O), axis=1)
+
+    Hpp = jnp.stack(
+        [
+            jnp.stack([osum(rowsum(Jp_cols[i], Jp_cols[j])) for j in range(3)], -1)
+            for i in range(3)
+        ],
+        -2,
+    )  # (P,3,3)
+    rrow = (ru, rv, rr)
+    bp = jnp.stack(
+        [osum(rowsum(Jp_cols[i], rrow)) for i in range(3)], -1
+    )  # (P,3)
+    Hpp_d = Hpp + lam * jnp.eye(3) * jnp.maximum(
+        jnp.trace(Hpp, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1e-6
+    )
+    Hpp_inv = inv3x3(Hpp_d)
+    Hpp_inv = jnp.where(~prob.pt_valid[:, None, None], 0.0, Hpp_inv)
+
+    # ---- camera blocks via ONE incidence matmul ----------------------
+    # columns: Hcc upper-triangle-full 36 + bc 6 = 42
+    cam_cols = [rowsum(Jc_cols[i], Jc_cols[j]) for i in range(6) for j in range(6)]
+    cam_cols += [rowsum(Jc_cols[i], rrow) for i in range(6)]
+    camM = jnp.stack(cam_cols, -1)  # (Q, 42)
+    red = f.E.T @ camM  # (C, 42)
+    Hcc = red[:, :36].reshape(C, 6, 6)
+    bc = red[:, 36:42]
+
+    # ---- coupling B (Q,6,3), BHinv = B @ Hpp_inv[p] ------------------
+    Bc = [[rowsum(Jc_cols[i], Jp_cols[k]) for k in range(3)] for i in range(6)]
+    # Row-gather Hpp_inv as flat 9-wide rows (one efficient row gather;
+    # a (Q,3,3) gather with its 3x3 minor dims is not lane-friendly).
+    Hgf = Hpp_inv.reshape(P, 9)[f.p_idx]  # (Q,9)
+    Hg = [[Hgf[:, 3 * j + k] for k in range(3)] for j in range(3)]
+    BH = [
+        [
+            Bc[i][0] * Hg[0][k] + Bc[i][1] * Hg[1][k] + Bc[i][2] * Hg[2][k]
+            for k in range(3)
+        ]
+        for i in range(6)
+    ]
+    B_stack = jnp.stack(
+        [jnp.stack(Bc[i], -1) for i in range(6)], -2
+    ).reshape(P, O, 6, 3)
+    BH_stack = jnp.stack(
+        [jnp.stack(BH[i], -1) for i in range(6)], -2
+    ).reshape(P, O, 6, 3)
+    E_po = f.E.reshape(P, O, C)
+    U = jnp.einsum("poc,poik->pcik", E_po, BH_stack)  # (P,C,6,3)
+    V = jnp.einsum("poc,pojk->pcjk", E_po, B_stack)  # (P,C,6,3)
+    Um = U.transpose(1, 2, 0, 3).reshape(C * 6, P * 3)
+    Vm = V.transpose(1, 2, 0, 3).reshape(C * 6, P * 3)
+    S_off = (Um @ Vm.T).reshape(C, 6, C, 6).transpose(0, 2, 1, 3)
+    bs = bc - jnp.einsum("pcik,pk->ci", U, bp)
+
+    Hcc_d = Hcc + lam * jnp.eye(6) * jnp.maximum(
+        jnp.trace(Hcc, axis1=-2, axis2=-1)[:, None, None] / 6.0, 1e-6
+    )
+    S = -S_off
+    S = S.at[jnp.arange(C), jnp.arange(C)].add(Hcc_d)
+    free = prob.cam_valid & ~prob.cam_fixed
+    fmask = free.astype(jnp.float32)
+    S = S * fmask[:, None, None, None] * fmask[None, :, None, None]
+    S = S.at[jnp.arange(C), jnp.arange(C)].add(
+        jnp.where(free, 0.0, 1.0)[:, None, None] * jnp.eye(6)
+    )
+    bs = bs * fmask[:, None]
+
+    dxc = -_pcg_solve_blocks(S, bs, iters=48)
+    dxc = jnp.where(jnp.isfinite(dxc), dxc, 0.0)
+    dxc_norm = jnp.linalg.norm(dxc, axis=-1, keepdims=True)
+    dxc = jnp.where(dxc_norm < 1e3, dxc, 0.0)
+
+    # back-substitute points: dxp = -Hpp^-1 (bp + sum_o B^T dxc[cam])
+    dg = dxc[f.cam_idx]  # (Q,6) row gather
+    corr = jnp.stack(
+        [
+            osum(sum(Bc[i][k] * dg[:, i] for i in range(6)))
+            for k in range(3)
+        ],
+        -1,
+    )  # (P,3)
+    dxp = -jnp.einsum("pij,pj->pi", Hpp_inv, bp + corr)
+    dxp = jnp.where(jnp.isfinite(dxp), dxp, 0.0)
+    dxp_norm = jnp.linalg.norm(dxp, axis=-1, keepdims=True)
+    dxp = jnp.where(dxp_norm < 1e3, dxp, 0.0)
+
+    T_new = jax.vmap(lambda dd, TT: se3_exp(dd) @ TT)(dxc, T_all)
+    T_new = jnp.where(free[:, None, None], T_new, T_all)
+    p_new = jnp.where(prob.pt_valid[:, None], p_w + dxp, p_w)
+    return T_new, p_new
+
+
 def lm_solve(
     cam: CameraIntrinsics,
     prob: BAProblem,
@@ -304,14 +540,21 @@ def lm_solve(
     active: jax.Array,
     lam0: float = 1e-4,
 ):
-    """Fixed-iteration LM with accept/reject damping."""
+    """Fixed-iteration LM with accept/reject damping (flat fast path)."""
 
     use_huber = jnp.asarray(use_huber)
+    f = _flatten_obs(prob)
+    active_flat = active.reshape(-1)
+    stereo_delta2 = jnp.where(f.stereo, CHI2_STEREO, CHI2_MONO)
 
     def body(state, _):
         T, p, lam, cost = state
-        T_new, p_new = _lm_iteration(cam, T, p, prob, active, lam, use_huber)
-        cost_new, _, _ = ba_cost_and_chi2(cam, T_new, p_new, prob, active, use_huber)
+        T_new, p_new = _flat_lm_iteration(
+            cam, T, p, prob, f, active_flat, lam, use_huber
+        )
+        cost_new = _flat_cost(
+            cam, T_new, p_new, f, active_flat, use_huber, stereo_delta2
+        )
         accept = cost_new < cost
         T = jnp.where(accept, T_new, T)
         p = jnp.where(accept, p_new, p)
@@ -319,8 +562,8 @@ def lm_solve(
         cost = jnp.where(accept, cost_new, cost)
         return (T, p, lam, cost), cost
 
-    cost0, _, _ = ba_cost_and_chi2(
-        cam, prob.T_cw, prob.p_w, prob, active, use_huber
+    cost0 = _flat_cost(
+        cam, prob.T_cw, prob.p_w, f, active_flat, use_huber, stereo_delta2
     )
     (T, p, _, cost), _ = jax.lax.scan(
         body, (prob.T_cw, prob.p_w, jnp.float32(lam0), cost0), None, length=iters
@@ -345,21 +588,29 @@ def bundle_adjust(
     """
     active0 = prob.obs_valid
     delta2 = jnp.where(prob.obs_stereo, CHI2_STEREO, CHI2_MONO)
+    f = _flatten_obs(prob)
+    af0 = active0.reshape(-1)
+
+    def flat_chi2_mask(T, p, active_flat):
+        """(P,O) raw chi2 + mask via the flat residual pass."""
+        pr = _flat_project(cam, T, p, f)
+        wu, wv, wr, mask = _flat_weights(f, pr["zr"], active_flat)
+        chi2 = _flat_chi2(pr, wu, wv, wr)
+        PP, OO = prob.P, prob.obs_cam.shape[1]
+        return chi2.reshape(PP, OO), mask.reshape(PP, OO)
+
     if iters1 > 0:
         # Two-phase local-BA protocol: robust, demote, non-robust.
         T, p, _ = lm_solve(cam, prob, iters1, True, active0)
-        prob1 = prob._replace(T_cw=T, p_w=p)
-        _, chi2, mask = ba_cost_and_chi2(
-            cam, T, p, prob1, active0, jnp.asarray(False)
-        )
+        chi2, mask = flat_chi2_mask(T, p, af0)
         inlier = mask & (chi2 <= delta2)
-        T, p, _ = lm_solve(cam, prob1, iters2, False, inlier)
+        T, p, _ = lm_solve(
+            cam, prob._replace(T_cw=T, p_w=p), iters2, False, inlier
+        )
     else:
         # Single robust phase: the reference global BA keeps Huber and
         # never demotes (optimizer.cpp:7-137).
         T, p, _ = lm_solve(cam, prob, iters2, True, active0)
-    _, chi2, mask = ba_cost_and_chi2(
-        cam, T, p, prob._replace(T_cw=T, p_w=p), active0, jnp.asarray(False)
-    )
+    chi2, mask = flat_chi2_mask(T, p, af0)
     outlier = mask & (chi2 > delta2)
     return T, p, outlier

@@ -54,6 +54,10 @@ class MapState(NamedTuple):
     mp_visible: jax.Array  # (M,) i32
     mp_obs_kf: jax.Array  # (M,O) i32 observing keyframe (-1 empty)
     mp_obs_kp: jax.Array  # (M,O) i32 keypoint slot in that keyframe
+    mp_obs_oct: jax.Array  # (M,O) i32 octave of that keypoint (denormalized
+    # copy of kf_octave[obs_kf, obs_kp], maintained at add time so the
+    # keyframe-culling scale test never needs a K*N-sized gather; stale
+    # values behind obs_kf == -1 slots are never read)
     # --- graph (K, ...) ---
     covis: jax.Array  # (K,K) i32 shared-point weights
     parent: jax.Array  # (K,) i32 spanning-tree parent (-1 root)
@@ -105,6 +109,7 @@ def empty_map(K: int, N: int, M: int, O: int) -> MapState:
         mp_visible=jnp.ones((M,), jnp.int32),
         mp_obs_kf=-jnp.ones((M, O), jnp.int32),
         mp_obs_kp=-jnp.ones((M, O), jnp.int32),
+        mp_obs_oct=jnp.zeros((M, O), jnp.int32),
         covis=jnp.zeros((K, K), jnp.int32),
         parent=-jnp.ones((K,), jnp.int32),
         loop_edge=-jnp.ones((K,), jnp.int32),
@@ -167,7 +172,12 @@ def add_observations(
         jnp.where(ok, kp_idx.astype(jnp.int32), m.mp_obs_kp[mp_w, first_free]),
         mode="drop",
     )
-    return m._replace(mp_obs_kf=obs_kf, mp_obs_kp=obs_kp)
+    oct_new = m.kf_octave[kf_id][jnp.clip(kp_idx, 0, m.N - 1)]
+    obs_oct = m.mp_obs_oct.at[mp_w, first_free].set(
+        jnp.where(ok, oct_new.astype(jnp.int32), m.mp_obs_oct[mp_w, first_free]),
+        mode="drop",
+    )
+    return m._replace(mp_obs_kf=obs_kf, mp_obs_kp=obs_kp, mp_obs_oct=obs_oct)
 
 
 def erase_observations(m: MapState, mp_ids: jax.Array, kf_ids: jax.Array) -> MapState:
@@ -298,6 +308,12 @@ def update_covisibility(m: MapState, kf_id) -> MapState:
     parent of a new keyframe is its strongest earlier neighbor.
     """
     ids = m.kf_mp[kf_id]  # (N,)
+    # Weights are counted from keypoint BINDINGS (kf_mp), not from the
+    # points' observation lists: obs lists are capacity-bounded (O
+    # slots) and saturate on long-lived points, which would silently
+    # undercount covisibility; bindings are exact.  (The reference
+    # iterates observation dicts, keyFrame.cpp:42-54, but its lists are
+    # unbounded.)
     member = jnp.zeros((m.M,), bool).at[jnp.clip(ids, 0, m.M - 1)].set(
         ids >= 0, mode="drop"
     )
@@ -364,6 +380,18 @@ def insert_keyframe(
     """
     N = m.N
     idx = jnp.arange(N)
+
+    # 0. slot-reuse hygiene: clear every observation slot that still
+    # references this keyframe id.  Culling clears the bound
+    # observations it can see, but stale entries (e.g. a fusion loser's
+    # old slot) may survive; once the slot is re-occupied they would be
+    # attributed to the NEW keyframe, corrupting covisibility and scale
+    # statistics.  This is a pure elementwise sweep over (M, O) — cheap.
+    stale = m.mp_obs_kf == jnp.int32(kf_id)
+    m = m._replace(
+        mp_obs_kf=jnp.where(stale, -1, m.mp_obs_kf),
+        mp_obs_kp=jnp.where(stale, -1, m.mp_obs_kp),
+    )
 
     # 1. frame arrays into the keyframe slot
     matched_ok = (matched_mp >= 0) & feats.valid

@@ -85,14 +85,18 @@ def select_local_window(
     if win.shape[0] < win_cap:
         win = jnp.pad(win, (0, win_cap - win.shape[0]), constant_values=-1)
 
-    # Points observed by the window.
+    # Points observed by the window: gather only the window keyframes'
+    # binding rows (win_cap x N) — scattering from the full (K, N) table
+    # costs ~10ms of serialized scatter for mostly-dead rows.
+    winc = jnp.clip(win, 0, m.K - 1)
+    win_mp = m.kf_mp[winc]  # (win_cap, N)
+    win_sel = (win >= 0)[:, None] & (win_mp >= 0)
     in_win = jnp.zeros((m.K + 1,), bool).at[jnp.where(win >= 0, win, m.K)].set(
         win >= 0
     )[: m.K]
-    kf_sel = in_win[:, None] & (m.kf_mp >= 0)
     member = jnp.zeros((m.M,), bool).at[
-        jnp.clip(m.kf_mp, 0, m.M - 1)
-    ].max(kf_sel, mode="drop")
+        jnp.clip(win_mp, 0, m.M - 1)
+    ].max(win_sel, mode="drop")
     member &= m.mp_valid
     order = jnp.where(member, jnp.arange(m.M), m.M)
     pts = jnp.sort(order)[:pts_cap].astype(jnp.int32)
@@ -244,14 +248,25 @@ def cull_keyframes(
         m.kf_depth[candc] <= depth_threshold
     )
     oct_here = m.kf_octave[candc]  # (NC,N)
-    obs_oct = m.kf_octave[
-        jnp.clip(m.mp_obs_kf[ids], 0, m.K - 1),
-        jnp.clip(m.mp_obs_kp[ids], 0, m.N - 1),
-    ]  # (NC,N,O)
-    obs_live = m.mp_obs_kf[ids] >= 0
-    not_self = m.mp_obs_kf[ids] != candc[:, None, None]
-    finer = obs_live & not_self & (obs_oct <= oct_here[..., None] + 1)
-    n_finer = jnp.sum(finer, axis=-1)  # (NC,N)
+    # Count observations at same-or-finer scale from the per-point
+    # octave histogram (mp_obs_oct is denormalized at add time; the
+    # two-level kf_octave[obs_kf, obs_kp] gather it replaces costs ~20ms
+    # for the NC*N*O index set).  cnt_le[m, t] = #live obs with
+    # octave <= t; the candidate's own observation always satisfies
+    # octave <= octave+1, so "other observers" = cnt_le - 1.
+    obs_live_all = m.mp_obs_kf >= 0  # (M,O)
+    hist = jnp.sum(
+        jnp.where(
+            obs_live_all[..., None],
+            jax.nn.one_hot(jnp.clip(m.mp_obs_oct, 0, 8), 9, dtype=jnp.int32),
+            0,
+        ),
+        axis=1,
+    )  # (M,9)
+    cnt_le = jnp.cumsum(hist, axis=-1)  # (M,9)
+    t = jnp.clip(oct_here + 1, 0, 8)  # (NC,N)
+    cnt_rows = cnt_le[ids]  # (NC,N,9) row gather
+    n_finer = jnp.take_along_axis(cnt_rows, t[..., None], axis=-1)[..., 0] - 1
     redundant_pt = close & (n_finer >= 3)
     n_close = jnp.sum(close, axis=-1)  # (NC,)
     n_red = jnp.sum(redundant_pt, axis=-1)
@@ -270,10 +285,29 @@ def cull_keyframes(
     T_par_inv = inv_T(m.kf_pose[par])
     T_c2p = jnp.einsum("kij,kjl->kil", m.kf_pose, T_par_inv)
     kf_T_c2p = jnp.where(cull[:, None, None], T_c2p, m.kf_T_c2p)
-    # Erase observations made by culled keyframes.
-    obs_from_culled = cull[jnp.clip(m.mp_obs_kf, 0, m.K - 1)] & (m.mp_obs_kf >= 0)
-    mp_obs_kf = jnp.where(obs_from_culled, -1, m.mp_obs_kf)
-    mp_obs_kp = jnp.where(obs_from_culled, -1, m.mp_obs_kp)
+    # Erase observations made by culled keyframes.  Only the NC
+    # candidates can be culled, so walk THEIR point bindings and clear
+    # the matching obs slots — scanning all (M, O) obs slots for culled
+    # owners is a 2M-element gather (~35ms); this is 16k rows.
+    # (Duplicate point rows — a point bound by TWO culled candidates in
+    # the same call — resolve last-writer-wins and can leave one stale
+    # obs behind; consumers that matter resolve observers against live
+    # keyframe sets, so a stale slot only slightly inflates obs counts
+    # until the point is next refreshed.)
+    obs_rows = m.mp_obs_kf[ids.reshape(-1)]  # (NC*N, O)
+    owner = jnp.repeat(candc, m.N)  # (NC*N,)
+    live_row = (pt_live & cull_cand[:, None]).reshape(-1)
+    hit = (obs_rows == owner[:, None]) & live_row[:, None]
+    # Only rows of CULLED candidates write back (others route to the
+    # dropped out-of-range row) so a point shared with a surviving
+    # neighbor cannot overwrite the cleared slots with its stale copy.
+    row_w = jnp.where(live_row, ids.reshape(-1), m.M)
+    mp_obs_kf = m.mp_obs_kf.at[row_w].set(
+        jnp.where(hit, -1, obs_rows), mode="drop"
+    )
+    mp_obs_kp = m.mp_obs_kp.at[row_w].set(
+        jnp.where(hit, -1, m.mp_obs_kp[ids.reshape(-1)]), mode="drop"
+    )
     kf_mp = jnp.where(cull[:, None], -1, m.kf_mp)
     # Re-parent children of culled nodes.
     parent_culled = cull[jnp.clip(m.parent, 0, m.K - 1)] & (m.parent >= 0)

@@ -60,8 +60,15 @@ def _fundamental_matrix(cam: CameraIntrinsics, T1_cw, T2_cw):
 
 
 def _triangulate_pairs(cam, T1, T2, uv1, uv2):
-    """Mid-point-free linear triangulation: vmapped 4x4 SVD
-    (localMapping.cpp:176-199)."""
+    """Linear two-view triangulation, closed form.
+
+    The reference solves the homogeneous 4x4 DLT system by SVD
+    (localMapping.cpp:176-199); batched tiny SVDs are iterative and slow
+    on TPU, so we solve the equivalent INHOMOGENEOUS least squares
+    A[:, :3] X = -A[:, 3] via 3x3 normal equations (documented
+    deviation: identical up to the w=1 normalization, and every
+    candidate still passes the reprojection chi2 gates below).
+    """
     K = jnp.array(
         [[cam.fx, 0.0, cam.cx], [0.0, cam.fy, cam.cy], [0.0, 0.0, 1.0]]
     )
@@ -76,10 +83,14 @@ def _triangulate_pairs(cam, T1, T2, uv1, uv2):
                 u2[0] * P2[2] - P2[0],
                 u2[1] * P2[2] - P2[1],
             ]
-        )
-        _, _, vt = jnp.linalg.svd(A)
-        X = vt[-1]
-        return X[:3] / jnp.where(jnp.abs(X[3]) > 1e-9, X[3], 1e-9)
+        )  # (4,4)
+        A3 = A[:, :3]
+        b = -A[:, 3]
+        G = A3.T @ A3
+        rhs = A3.T @ b
+        from ..optim.schur import inv3x3
+
+        return inv3x3(G + 1e-9 * jnp.eye(3)) @ rhs
 
     return jax.vmap(one)(uv1, uv2)
 
