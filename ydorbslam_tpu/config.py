@@ -161,6 +161,7 @@ class CapacityConfig:
     local_ba_window_kf: int = 64  # optimized covisibility window
     local_ba_fixed_kf: int = 32  # fixed observer cameras
     local_ba_max_points: int = 4096
+    local_ba_obs: int = 16  # obs slots per point inside local BA (0 = all)
     tracking_points: int = 8192  # local tracking map cap
     reloc_candidates: int = 8
     loop_candidates: int = 8

@@ -377,8 +377,8 @@ class LoopCloserImpl:
         order = jnp.where(member, jnp.arange(m.M), m.M)
         pts = jnp.sort(order)[:pts_cap].astype(jnp.int32)
         pts = jnp.where(pts < m.M, pts, -1)
-        prob = build_local_ba(m, win, fixed, pts, sys.inv_sigma2_tab)
+        prob, obs_sel = build_local_ba(m, win, fixed, pts, sys.inv_sigma2_tab)
         T_new, p_new, outlier = bundle_adjust(
             sys.cam, prob, iters1=0, iters2=cfg.optim.global_ba_iters
         )
-        return apply_local_ba(m, win, pts, T_new[: K], p_new, outlier)
+        return apply_local_ba(m, win, pts, T_new[: K], p_new, outlier, obs_sel)

@@ -119,12 +119,18 @@ def select_local_window(
     return win, fixed, pts
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("obs_cap",))
 def build_local_ba(
     m: MapState, win: jax.Array, fixed: jax.Array, pts: jax.Array,
-    inv_sigma2_tab: jax.Array,
+    inv_sigma2_tab: jax.Array, obs_cap: int = 0,
 ) -> BAProblem:
-    """Gather the capacity-bounded BAProblem for the local window."""
+    """Gather the capacity-bounded BAProblem for the local window.
+
+    ``obs_cap`` > 0 compacts each point's observation slots to the
+    best ``obs_cap`` (in-window observations first): Q = P*O drives the
+    whole LM cost, and points with more than ~16 observers inside one
+    local window contribute almost no extra constraint.
+    """
     C = win.shape[0] + fixed.shape[0]
     cams = jnp.concatenate([win, fixed])  # (C,)
     cam_ok = cams >= 0
@@ -143,6 +149,17 @@ def build_local_ba(
     obs_kf = m.mp_obs_kf[ptc]  # (P,O)
     obs_kp = m.mp_obs_kp[ptc]
     obs_cam = jnp.where(obs_kf >= 0, lut[jnp.clip(obs_kf, 0, m.K - 1)], -1)
+    obs_sel = jnp.broadcast_to(
+        jnp.arange(obs_cam.shape[1], dtype=jnp.int32)[None, :], obs_cam.shape
+    )
+    if obs_cap and obs_cap < obs_cam.shape[1]:
+        order = jnp.argsort(-(obs_cam >= 0).astype(jnp.int32), axis=1)[
+            :, :obs_cap
+        ]
+        obs_kf = jnp.take_along_axis(obs_kf, order, axis=1)
+        obs_kp = jnp.take_along_axis(obs_kp, order, axis=1)
+        obs_cam = jnp.take_along_axis(obs_cam, order, axis=1)
+        obs_sel = order.astype(jnp.int32)
     kfc = jnp.clip(obs_kf, 0, m.K - 1)
     kpc = jnp.clip(obs_kp, 0, m.N - 1)
     uv = m.kf_uv[kfc, kpc]
@@ -161,7 +178,7 @@ def build_local_ba(
         obs_inv_sigma2=inv_sigma2_tab[octv],
         obs_stereo=ur >= 0,
         obs_valid=obs_valid,
-    )
+    ), obs_sel
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -172,10 +189,13 @@ def apply_local_ba(
     T_new: jax.Array,
     p_new: jax.Array,
     outlier: jax.Array,
+    obs_sel: jax.Array,
 ) -> MapState:
     """Write back optimized poses/points and erase outlier observations
     (the under-map-mutex recovery step of optimizer.cpp:336-352 — here
-    just a functional update)."""
+    just a functional update).  ``outlier`` is indexed by the COMPACTED
+    observation slots; ``obs_sel`` (P, obs_cap) maps them back to each
+    point's original O-slot indices."""
     win_ok = win >= 0
     winc = jnp.where(win_ok, win, 0)
     kf_pose = m.kf_pose.at[winc].set(
@@ -190,13 +210,15 @@ def apply_local_ba(
     m = m._replace(kf_pose=kf_pose, mp_pos=mp_pos)
 
     # Erase outlier observations: clear mp_obs slot + kf_mp slot.
-    obs_kf = m.mp_obs_kf[jnp.clip(ptc, 0, m.M - 1)]
-    obs_kp = m.mp_obs_kp[jnp.clip(ptc, 0, m.M - 1)]
+    rows = m.mp_obs_kf[jnp.clip(ptc, 0, m.M - 1)]  # (P,O) full rows
+    obs_kf = jnp.take_along_axis(rows, obs_sel, axis=1)  # (P,Oc)
+    obs_kp = jnp.take_along_axis(
+        m.mp_obs_kp[jnp.clip(ptc, 0, m.M - 1)], obs_sel, axis=1
+    )
     kill = outlier & pt_ok[:, None] & (obs_kf >= 0)
-    new_obs_kf = jnp.where(kill, -1, obs_kf)
-    new_obs_kp = jnp.where(kill, -1, obs_kp)
-    mp_obs_kf = m.mp_obs_kf.at[ptc].set(new_obs_kf, mode="drop")
-    mp_obs_kp = m.mp_obs_kp.at[ptc].set(new_obs_kp, mode="drop")
+    pt_w = jnp.where(kill, ptc[:, None], m.M)  # dropped when not killed
+    mp_obs_kf = m.mp_obs_kf.at[pt_w, obs_sel].set(-1, mode="drop")
+    mp_obs_kp = m.mp_obs_kp.at[pt_w, obs_sel].set(-1, mode="drop")
     kf_w = jnp.where(kill, obs_kf, 0)
     kp_w = jnp.where(kill, obs_kp, 0)
     kf_mp = m.kf_mp.at[kf_w.reshape(-1), kp_w.reshape(-1)].set(
@@ -210,12 +232,173 @@ def local_bundle_adjust(
     m: MapState, kf_id: int, cam: CameraIntrinsics, inv_sigma2_tab: jax.Array,
     iters1: int = 5, iters2: int = 10,
     win_cap: int = LBA_WIN, fix_cap: int = LBA_FIX, pts_cap: int = LBA_PTS,
+    obs_cap: int = 0,
 ) -> MapState:
     """Full local BA pass around a new keyframe (host orchestration)."""
     win, fixed, pts = select_local_window(m, kf_id, win_cap, fix_cap, pts_cap)
-    prob = build_local_ba(m, win, fixed, pts, inv_sigma2_tab)
+    prob, obs_sel = build_local_ba(
+        m, win, fixed, pts, inv_sigma2_tab, obs_cap=obs_cap
+    )
     T_new, p_new, outlier = bundle_adjust(cam, prob, iters1=iters1, iters2=iters2)
-    return apply_local_ba(m, win, pts, T_new[:win_cap], p_new, outlier)
+    return apply_local_ba(m, win, pts, T_new[:win_cap], p_new, outlier, obs_sel)
+
+
+# ----------------------------------------------------------------------
+# Fused per-keyframe mapping program
+# ----------------------------------------------------------------------
+
+# Packed snapshot layout returned by mapping_step (one f32 vector so the
+# host fetches everything it needs with a single async copy — each
+# device->host read through the remote tunnel costs a ~25ms round trip
+# regardless of size).
+SNAP_CULL_CAP = 16  # >= keyframe-culling NCAND
+
+
+def snapshot_layout(K: int):
+    """(offsets dict, total length) of the packed mapping snapshot."""
+    off, o = {}, 0
+    for name, ln in (
+        ("kf_valid", K),
+        ("valid_before", K),
+        ("parent", K),
+        ("kf_frame_id", K),
+        ("ref_pose", 16),
+        ("culled_ids", SNAP_CULL_CAP),
+        ("culled_c2p", SNAP_CULL_CAP * 16),
+        ("culled_parent", SNAP_CULL_CAP),
+    ):
+        off[name] = (o, o + ln)
+        o += ln
+    return off, o
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "scale_factor", "n_levels", "iters1", "iters2",
+        "win_cap", "fix_cap", "pts_cap", "obs_cap", "n_neighbors",
+    ),
+    donate_argnums=(0,),
+)
+def mapping_step(
+    m: MapState,
+    kf_id,
+    kf_count,
+    cam: CameraIntrinsics,
+    inv_sigma2_tab: jax.Array,
+    depth_threshold: jax.Array,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+    iters1: int = 5,
+    iters2: int = 10,
+    win_cap: int = LBA_WIN,
+    fix_cap: int = LBA_FIX,
+    pts_cap: int = LBA_PTS,
+    obs_cap: int = 0,
+    n_neighbors: int = 10,
+):
+    """The WHOLE per-keyframe LocalMapping pipeline as ONE device
+    program (localMapping.cpp:8-53 re-expressed):
+
+      cull recent points -> on-device covisible-neighbor top-k ->
+      epipolar triangulation per neighbor (fori) -> point refresh ->
+      two-way fusion per neighbor (fori) -> refresh -> local BA ->
+      redundant-keyframe culling.
+
+    The reference runs this on its mapping thread with ~30 fine-grained
+    steps; dispatching those individually from the host costs a round
+    trip each through the remote-TPU tunnel.  Host control flow needs
+    nothing mid-pipeline: neighbor selection moves on device, and the
+    packed snapshot (second return) carries everything the host's
+    bookkeeping reads, fetched asynchronously.
+
+    Returns (map', snapshot_vec (SNAP_LEN,) f32).
+    """
+    from ..geometry.se3 import inv_T as _inv_T
+    from .map_state import refresh_points
+    from .triangulate import fuse_into_kf_body, triangulate_neighbor_body
+
+    m = cull_map_points.__wrapped__(m, kf_count)
+
+    w = m.covis[kf_id] * m.kf_valid.astype(jnp.int32)
+    nvals, nids = jax.lax.top_k(w, n_neighbors)
+    nok = nvals > 0
+
+    def tri(i, mm):
+        # lax.cond so INACTIVE neighbor slots skip the whole epipolar
+        # search (a masked no-op would still pay the (N,N) matrices).
+        return jax.lax.cond(
+            nok[i],
+            lambda mc: triangulate_neighbor_body(
+                mc, kf_id, nids[i], jnp.asarray(True), kf_count, cam,
+                scale_factor, n_levels,
+            ),
+            lambda mc: mc,
+            mm,
+        )
+
+    m = jax.lax.fori_loop(0, n_neighbors, tri, m)
+    m = refresh_points(
+        m, jnp.where(m.kf_mp[kf_id] >= 0, m.kf_mp[kf_id], -1),
+        scale_factor, n_levels,
+    )
+
+    def fuse(i, mm):
+        def work(mc):
+            mc = fuse_into_kf_body(
+                mc, kf_id, nids[i], jnp.asarray(True), cam,
+                scale_factor, n_levels,
+            )
+            return fuse_into_kf_body(
+                mc, nids[i], kf_id, jnp.asarray(True), cam,
+                scale_factor, n_levels,
+            )
+
+        return jax.lax.cond(nok[i], work, lambda mc: mc, mm)
+
+    m = jax.lax.fori_loop(0, n_neighbors, fuse, m)
+    m = refresh_points(
+        m, jnp.where(m.kf_mp[kf_id] >= 0, m.kf_mp[kf_id], -1),
+        scale_factor, n_levels,
+    )
+
+    win, fixed, pts = select_local_window.__wrapped__(
+        m, kf_id, win_cap, fix_cap, pts_cap
+    )
+    prob, obs_sel = build_local_ba.__wrapped__(
+        m, win, fixed, pts, inv_sigma2_tab, obs_cap=obs_cap
+    )
+    T_new, p_new, outlier = bundle_adjust.__wrapped__(
+        cam, prob, iters1=iters1, iters2=iters2
+    )
+    m = apply_local_ba.__wrapped__(
+        m, win, pts, T_new[:win_cap], p_new, outlier, obs_sel
+    )
+
+    valid_before = m.kf_valid
+    m = cull_keyframes.__wrapped__(m, kf_id, depth_threshold)
+
+    # --- packed snapshot ------------------------------------------------
+    culled = valid_before & ~m.kf_valid
+    cvals, cids = jax.lax.top_k(culled.astype(jnp.int32), SNAP_CULL_CAP)
+    cids = jnp.where(cvals > 0, cids, -1)
+    cidc = jnp.clip(cids, 0, m.K - 1)
+    # Freeze child->parent transforms of the culled nodes for record
+    # rebasing (kf_T_c2p was just written by cull_keyframes).
+    c2p = m.kf_T_c2p[cidc]  # (CAP,4,4)
+    snap = jnp.concatenate(
+        [
+            m.kf_valid.astype(jnp.float32),
+            valid_before.astype(jnp.float32),
+            m.parent.astype(jnp.float32),
+            m.kf_frame_id.astype(jnp.float32),
+            m.kf_pose[kf_id].reshape(16),
+            cids.astype(jnp.float32),
+            c2p.reshape(-1),
+            m.parent[cidc].astype(jnp.float32),
+        ]
+    )
+    return m, snap
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))

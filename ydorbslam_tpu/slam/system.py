@@ -27,11 +27,7 @@ from ..ops.extractor import FrameFeatures
 from ..ops.pyramid import level_sigma2
 from ..optim.pose import PoseObservations, optimize_pose
 from .map_state import MapState, empty_map, insert_keyframe
-from .mapping import (
-    cull_keyframes,
-    cull_map_points,
-    local_bundle_adjust,
-)
+from .mapping import mapping_step  # noqa: F401 (fused per-KF pipeline)
 from .matchers import match_local_points
 from .tracking import Tracker, TrackingState, landmark_positions
 
@@ -163,30 +159,63 @@ class SlamSystem:
     # (slot allocation, neighbor selection, record rebasing, trajectory
     # caching) reads this snapshot instead.
     # ------------------------------------------------------------------
-    def _refresh_snapshot(self, neighbors_of: Optional[int] = None):
-        """ONE small bulk fetch (device->host bandwidth through the
-        tunnel is ~100 KB/s, so the big graph arrays — covis (K^2),
-        kf_pose — must NEVER be pulled here; neighbor lists and pose
-        rows are computed/gathered on device and fetched as slivers)."""
+    def _refresh_snapshot(self):
+        """Synchronous fallback fetch (init/reset paths).  The steady
+        state never calls this: mapping_step returns a PACKED snapshot
+        vector that is copied host-ward asynchronously and consumed a
+        few frames later (each device->host read through the remote
+        tunnel costs a ~25ms round trip, so everything is one vector)."""
         m = self.map
-        fetch = [m.kf_valid, m.parent, m.kf_frame_id,
-                 m.kf_pose[self.ref_kf], m.kf_T_c2p[self.ref_kf]]
-        if neighbors_of is not None:
-            w = m.covis[neighbors_of] * m.kf_valid.astype(jnp.int32)
-            vals, ids = jax.lax.top_k(w, 10)
-            fetch.append(jnp.where(vals > 0, ids, -1))
-        got = jax.device_get(tuple(fetch))
+        got = jax.device_get(
+            (m.kf_valid, m.parent, m.kf_frame_id, m.kf_pose[self.ref_kf])
+        )
         self._snap = {
-            "kf_valid": got[0],
+            "kf_valid": got[0].copy(),
             "parent": got[1],
             "kf_frame_id": got[2],
-            "ref_pose": got[3],
+            "ref_pose": got[3].astype(np.float64),
         }
-        if neighbors_of is not None:
-            self._snap["neighbors"] = [int(k) for k in got[5] if k >= 0]
+        return self._snap
+
+    def _stash_snapshot(self, snap_vec):
+        """Register mapping_step's packed snapshot and start its async
+        device->host copy; `_snapshot()` consumes it lazily."""
+        try:
+            snap_vec.copy_to_host_async()
+        except Exception:
+            pass  # backends without async copy still work (sync read later)
+        self._pending_snap = snap_vec
+
+    def _consume_pending_snapshot(self):
+        from .mapping import SNAP_CULL_CAP, snapshot_layout
+
+        vec = self._pending_snap
+        self._pending_snap = None
+        v = np.asarray(vec)
+        K = self.map.K
+        off, _ = snapshot_layout(K)
+
+        def seg(name):
+            a, b = off[name]
+            return v[a:b]
+
+        self._snap = {
+            "kf_valid": seg("kf_valid") > 0.5,
+            "parent": seg("parent").astype(np.int64),
+            "kf_frame_id": seg("kf_frame_id").astype(np.int64),
+            "ref_pose": seg("ref_pose").reshape(4, 4).astype(np.float64),
+        }
+        culled_ids = seg("culled_ids").astype(np.int64)
+        culled = [int(k) for k in culled_ids if k >= 0]
+        if culled:
+            c2p = seg("culled_c2p").reshape(SNAP_CULL_CAP, 4, 4).astype(np.float64)
+            T_c2p = {int(k): c2p[i] for i, k in enumerate(culled_ids) if k >= 0}
+            self._rebase_records(culled, T_c2p, self._snap["parent"])
         return self._snap
 
     def _snapshot(self):
+        if getattr(self, "_pending_snap", None) is not None:
+            return self._consume_pending_snapshot()
         if getattr(self, "_snap", None) is None:
             self._refresh_snapshot()
         return self._snap
@@ -239,6 +268,8 @@ class SlamSystem:
         self.ref_kf = 0
         self.frames_since_kf = 0
         self.records = []
+        self._pending_snap = None
+        self._snap = None
 
     def shutdown(self):
         """Drain the pipelined queue; no threads to join
@@ -589,7 +620,7 @@ class SlamSystem:
             self._insert_keyframe(timestamp, feats, T_opt, matched_mp=mpid)
         return True
 
-    def _rebase_records(self, valid_before):
+    def _rebase_records(self, culled, T_c2p, parent):
         """Eagerly migrate frame records off culled reference keyframes.
 
         Keyframe slots are REUSED after culling, so the lazy spanning-tree
@@ -598,10 +629,10 @@ class SlamSystem:
         culled we fold its frozen child-to-parent transform into every
         record that references it: T_c_ref <- T_c_ref @ T_c2p, ref <-
         parent.  Same math, eager instead of lazy, slot-reuse-safe.
+        ``culled``/``T_c2p``/``parent`` come from mapping_step's packed
+        snapshot (no extra device reads).
         """
-        snap = self._snapshot()
-        valid_after = snap["kf_valid"]
-        culled = set(np.where(valid_before & ~valid_after)[0].tolist())
+        culled = set(culled)
         if not culled:
             return
         # Keep the retrieval index in sync (KeyFrameDatabase::erase).
@@ -609,12 +640,6 @@ class SlamSystem:
 
         for k in culled:
             self.retrieval = remove_keyframe(self.retrieval, k)
-        parent = snap["parent"]
-        culled_list = sorted(culled)
-        rows = jax.device_get(
-            tuple(self.map.kf_T_c2p[k] for k in culled_list)
-        )
-        T_c2p = {k: r for k, r in zip(culled_list, rows)}
         if self.ref_kf in culled:
             p = int(parent[self.ref_kf])
             if p >= 0:
@@ -793,44 +818,41 @@ class SlamSystem:
         )
 
         if self.n_keyframes > 2:
-            # Synchronous local-mapping pipeline (localMapping.cpp:8-53).
-            self.map = cull_map_points(self.map, jnp.int32(self.n_keyframes))
-            # ONE small snapshot after insertion: validity + the new
-            # keyframe's top-10 covisible neighbors (computed on device).
-            snap = self._refresh_snapshot(neighbors_of=slot)
-            before = snap["kf_valid"].copy()
-            neighbors = snap["neighbors"]
-            neighbors = [k for k in neighbors if k != slot]
-            from .triangulate import _fuse_into_kf, _triangulate_with_neighbor
+            # The WHOLE LocalMapping pipeline (cull -> triangulate ->
+            # fuse -> local BA -> KF cull) is ONE device program with
+            # on-device neighbor selection; its packed snapshot is
+            # fetched asynchronously and consumed at the next host
+            # decision point (localMapping.cpp:8-53, SURVEY.md §2c P1).
+            from .mapping import mapping_step
 
-            for k2 in neighbors:
-                self.map = _triangulate_with_neighbor(
-                    self.map, slot, k2, self.n_keyframes, self.cam,
-                    cfg.orb.scale_factor, cfg.orb.n_levels,
-                )
-            for k2 in neighbors:
-                self.map = _fuse_into_kf(
-                    self.map, slot, k2, self.cam,
-                    cfg.orb.scale_factor, cfg.orb.n_levels,
-                )
-                self.map = _fuse_into_kf(
-                    self.map, k2, slot, self.cam,
-                    cfg.orb.scale_factor, cfg.orb.n_levels,
-                )
-            self.map = local_bundle_adjust(
-                self.map, slot, self.cam, self.inv_sigma2_tab,
+            # Size buckets: a young map never fills the full BA window,
+            # and local-BA cost scales with win*pts*obs.  Two compiled
+            # sizes (small for the first keyframes, full afterwards)
+            # keep the early sequence fast without touching behavior —
+            # the small caps still exceed the actual map content.
+            cap = cfg.capacity
+            if self.n_keyframes <= min(20, cap.local_ba_window_kf // 2):
+                win_cap = max(4, cap.local_ba_window_kf // 2)
+                fix_cap = max(2, cap.local_ba_fixed_kf // 2)
+                pts_cap = max(256, cap.local_ba_max_points // 2)
+            else:
+                win_cap = cap.local_ba_window_kf
+                fix_cap = cap.local_ba_fixed_kf
+                pts_cap = cap.local_ba_max_points
+            self.map, snap_vec = mapping_step(
+                self.map, jnp.int32(slot), jnp.int32(self.n_keyframes),
+                self.cam, self.inv_sigma2_tab,
+                jnp.float32(self.depth_threshold),
+                scale_factor=cfg.orb.scale_factor,
+                n_levels=cfg.orb.n_levels,
                 iters1=cfg.optim.local_ba_iters_1,
                 iters2=cfg.optim.local_ba_iters_2,
-                win_cap=cfg.capacity.local_ba_window_kf,
-                fix_cap=cfg.capacity.local_ba_fixed_kf,
-                pts_cap=cfg.capacity.local_ba_max_points,
+                win_cap=win_cap,
+                fix_cap=fix_cap,
+                pts_cap=pts_cap,
+                obs_cap=cap.local_ba_obs,
             )
-            self.map = cull_keyframes(
-                self.map, slot, jnp.float32(self.depth_threshold)
-            )
-            # second (final) snapshot: post-BA poses + culls
-            self._refresh_snapshot()
-            self._rebase_records(before)
+            self._stash_snapshot(snap_vec)
         else:
             self._refresh_snapshot()
         if self.loop_closer is not None and self.n_keyframes > 2:

@@ -95,14 +95,14 @@ def _triangulate_pairs(cam, T1, T2, uv1, uv2):
     return jax.vmap(one)(uv1, uv2)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("scale_factor", "n_levels"), donate_argnums=(0,)
-)
-def _triangulate_with_neighbor(
-    m: MapState, kf1, kf2, kf_count, cam: CameraIntrinsics,
+def triangulate_neighbor_body(
+    m: MapState, kf1, kf2, active, kf_count, cam: CameraIntrinsics,
     scale_factor: float, n_levels: int,
 ) -> MapState:
-    """Epipolar search + triangulation between keyframes kf1 (new) and kf2."""
+    """Epipolar search + triangulation between keyframes kf1 (new) and
+    kf2 (trace body; ``active=False`` makes the whole call a masked
+    no-op so it can run under ``lax.fori_loop`` over a padded neighbor
+    list)."""
     sf = scale_factor ** jnp.arange(n_levels, dtype=jnp.float32)
     sigma2 = sf * sf
     T1, T2 = m.kf_pose[kf1], m.kf_pose[kf2]
@@ -135,6 +135,16 @@ def _triangulate_with_neighbor(
     best2 = jnp.argmin(d, axis=1)
     bestd = jnp.take_along_axis(d, best2[:, None], axis=1)[:, 0]
     matched = bestd <= 50  # TH_LOW (orbMatcher.cpp:8)
+    # Resolve kf2-side collisions: if two kf1 keypoints claim the same
+    # kf2 keypoint, keep only the closer pair — otherwise the loser's
+    # new point gets an observation of (kf2, kp) that kf_mp never
+    # mirrors, breaking the obs<->binding invariant.
+    rows1 = jnp.arange(m.N)
+    only_best = jnp.full_like(d, INVALID_DIST).at[rows1, best2].min(
+        jnp.where(matched, bestd, INVALID_DIST)
+    )
+    col_winner = jnp.argmin(only_best, axis=0)  # (N,) kf1 row per kf2 kp
+    matched &= col_winner[best2] == rows1
 
     uv2m = uv2[best2]
     X_tri = _triangulate_pairs(cam, T1, T2, uv1, uv2m)
@@ -222,7 +232,9 @@ def _triangulate_with_neighbor(
         ok &= (ratio_d < ratio_o * 1.5) & (ratio_d > ratio_o / 1.5)
         return ok
 
-    good = matched & has_source & checks(X) & (baseline > cam.bf / cam.fx)
+    good = (
+        matched & has_source & checks(X) & (baseline > cam.bf / cam.fx) & active
+    )
 
     # Allocate + write new points with two observations.
     ranks = jnp.where(good, jnp.cumsum(good) - 1, -1)
@@ -272,6 +284,18 @@ def _triangulate_with_neighbor(
 @functools.partial(
     jax.jit, static_argnames=("scale_factor", "n_levels"), donate_argnums=(0,)
 )
+def _triangulate_with_neighbor(
+    m: MapState, kf1, kf2, kf_count, cam: CameraIntrinsics,
+    scale_factor: float, n_levels: int,
+) -> MapState:
+    return triangulate_neighbor_body(
+        m, kf1, kf2, jnp.asarray(True), kf_count, cam, scale_factor, n_levels
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale_factor", "n_levels"), donate_argnums=(0,)
+)
 def refresh_kf_points(
     m: MapState, kf_id, cam: CameraIntrinsics, scale_factor: float,
     n_levels: int,
@@ -302,15 +326,13 @@ def create_new_points(
     return m
 
 
-@functools.partial(
-    jax.jit, static_argnames=("scale_factor", "n_levels"), donate_argnums=(0,)
-)
-def _fuse_into_kf(
-    m: MapState, src_kf, dst_kf, cam: CameraIntrinsics,
+def fuse_into_kf_body(
+    m: MapState, src_kf, dst_kf, active, cam: CameraIntrinsics,
     scale_factor: float, n_levels: int,
 ) -> MapState:
     """Project src_kf's map points into dst_kf; bind/merge
-    (OrbMatcher::fuseByProjection, orbMatcher.cpp:682-745)."""
+    (OrbMatcher::fuseByProjection, orbMatcher.cpp:682-745).
+    ``active=False`` masks the call to a no-op (padded neighbor loops)."""
     sf = scale_factor ** jnp.arange(n_levels, dtype=jnp.float32)
     ids = m.kf_mp[src_kf]  # (N,)
     idc = jnp.clip(ids, 0, m.M - 1)
@@ -348,7 +370,7 @@ def _fuse_into_kf(
     )
     who = jnp.argmin(only_best, axis=0)  # (N_dst,) src row
     who_d = jnp.take_along_axis(only_best, who[None, :], axis=0)[0]
-    bound = who_d < INVALID_DIST  # dst kp j gets point ids[who[j]]
+    bound = (who_d < INVALID_DIST) & active  # dst kp j gets ids[who[j]]
 
     cand_mp = ids[who]  # (N,)
     existing = m.kf_mp[dst_kf]
@@ -363,6 +385,22 @@ def _fuse_into_kf(
     exist_obs = n_obs[jnp.clip(existing, 0, m.M - 1)]
     replace = bound & ~empty_slot & (cand_obs > exist_obs) & (cand_mp != existing)
     new_row = jnp.where(replace, cand_mp, new_row)
+    # The replaced (loser) point's observation of dst_kf no longer has a
+    # binding — erase it so obs lists stay the mirror of kf_mp (the
+    # reference transfers the loser's observations wholesale,
+    # mapPoint.cpp:128-156; we erase the one that lost its slot).
+    loserc = jnp.clip(existing, 0, m.M - 1)
+    lrows = m.mp_obs_kf[loserc]  # (N,O)
+    lhit = replace[:, None] & (lrows == dst_kf)
+    row_w = jnp.where(replace, loserc, m.M)
+    m = m._replace(
+        mp_obs_kf=m.mp_obs_kf.at[row_w].set(
+            jnp.where(lhit, -1, lrows), mode="drop"
+        ),
+        mp_obs_kp=m.mp_obs_kp.at[row_w].set(
+            jnp.where(lhit, -1, m.mp_obs_kp[loserc]), mode="drop"
+        ),
+    )
     m = m._replace(kf_mp=m.kf_mp.at[dst_kf].set(new_row))
     m = add_observations(
         m, jnp.where(bind | replace, cand_mp, -1), dst_kf, jnp.arange(m.N),
@@ -370,6 +408,18 @@ def _fuse_into_kf(
     )
     # refresh deferred to the caller (one batched refresh per keyframe).
     return m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale_factor", "n_levels"), donate_argnums=(0,)
+)
+def _fuse_into_kf(
+    m: MapState, src_kf, dst_kf, cam: CameraIntrinsics,
+    scale_factor: float, n_levels: int,
+) -> MapState:
+    return fuse_into_kf_body(
+        m, src_kf, dst_kf, jnp.asarray(True), cam, scale_factor, n_levels
+    )
 
 
 def fuse_neighbors(
