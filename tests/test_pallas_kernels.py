@@ -31,3 +31,15 @@ def test_masked_best2_matches_reference(rng):
         d[np.arange(M)[row_ok], idx[row_ok]], best[row_ok]
     )
     assert (idx[~row_ok] == -1).all() or True  # unmatched rows report -1
+
+
+def test_fast_score_nms_matches_reference(rng):
+    from ydorbslam_tpu.ops.fast import fast_score_map, nms_and_border
+    from ydorbslam_tpu.ops.pallas_kernels import fast_score_nms_pallas
+
+    img = jnp.asarray(
+        rng.uniform(0, 255, size=(137, 201)).astype(np.float32)
+    )
+    ref = nms_and_border(fast_score_map(img), 16)
+    out = fast_score_nms_pallas(img, 16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)

@@ -104,6 +104,12 @@ def extract_orb(
     budgets = level_budgets(n_features, n_levels, scale_factor)
     scales = scale_factors(n_levels, scale_factor)
 
+    # Fused Pallas FAST+NMS on TPU; XLA formulation elsewhere (and as
+    # the golden reference in tests).
+    use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from .pallas_kernels import fast_score_nms_pallas
+
     uvs, uvs_lvl_blur = [], []
     resps, octs, angs, descs, valids = [], [], [], [], []
     for level in range(n_levels):
@@ -111,8 +117,11 @@ def extract_orb(
         k = budgets[level]
         if k == 0:
             continue
-        score = fast_score_map(lvl)
-        score = nms_and_border(score, DETECT_BORDER)
+        if use_pallas:
+            score = fast_score_nms_pallas(lvl, DETECT_BORDER)
+        else:
+            score = fast_score_map(lvl)
+            score = nms_and_border(score, DETECT_BORDER)
         score = two_threshold_mask(score, 32, float(th_high), float(th_low))
         uv_l, resp, valid = select_topk_cells(score, k)
 

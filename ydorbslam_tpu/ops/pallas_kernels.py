@@ -165,3 +165,136 @@ def masked_best2_pallas(
         interpret=_use_interpret(),
     )(desc_a, desc_b, pair_mask)
     return idx.reshape(M), best.reshape(M), second.reshape(M)
+
+
+# ---------------------------------------------------------------------
+# Fused FAST-9 corner score + 3x3 NMS + border mask.
+#
+# The XLA formulation (ops/fast.py) materializes a (16, H, W) circle
+# stack plus ~10 same-sized temporaries per pyramid level — ~6 ms of
+# pure HBM traffic per frame at 640x480x8 levels.  Here each row strip
+# is processed entirely in VMEM: the 16 circle taps are unaligned
+# slices of the strip, the two arc-min trees and the NMS run on
+# registers, and only the final suppressed score ever touches HBM.
+# ---------------------------------------------------------------------
+
+_FAST_PAD = 4  # 3 px circle radius + 1 px NMS halo
+_FAST_STRIP = 64  # output rows per grid step
+
+
+def _fast_nms_kernel(
+    img_ref, out_ref, strip, sem, *, W, row0_h, row1, col0, col1, H_out
+):
+    """One row strip -> (1, S, W) suppressed scores.
+
+    The padded image stays in HBM (``pl.ANY``); each grid step DMAs its
+    overlapping (S+8, W+8) strip into VMEM scratch — overlapping windows
+    are not expressible as BlockSpecs, and staging them as a stacked XLA
+    concatenate costs ~1 ms/level in kLoop fusions.
+
+    ``row0_h``..``row1`` / ``col0``..``col1`` are the detection bounds
+    in GLOBAL image coordinates (border exclusion)."""
+    from .fast import FAST_OFFSETS
+
+    S = out_ref.shape[1]
+    i = pl.program_id(0)
+    P = _FAST_PAD
+    dma = pltpu.make_async_copy(
+        img_ref.at[pl.ds(i * S, S + 2 * P), :], strip, sem
+    )
+    dma.start()
+    dma.wait()
+    a = strip[:]
+    H2, W2 = S + 2, W + 2
+    # Score over an (S+2, W+2) window (one-pixel halo for NMS); the
+    # window origin inside the strip is (PAD-1, PAD-1) = (3, 3).
+    c = a[3 : 3 + H2, 3 : 3 + W2]
+    ds = []
+    for (dx, dy) in FAST_OFFSETS:
+        p = a[3 + dy : 3 + dy + H2, 3 + dx : 3 + dx + W2]
+        ds.append(p - c)
+
+    def arc9_min(x):
+        m1 = [jnp.minimum(x[k], x[(k + 1) % 16]) for k in range(16)]
+        m2 = [jnp.minimum(m1[k], m1[(k + 2) % 16]) for k in range(16)]
+        m4 = [jnp.minimum(m2[k], m2[(k + 4) % 16]) for k in range(16)]
+        m9 = [jnp.minimum(m4[k], x[(k + 8) % 16]) for k in range(16)]
+        out = m9[0]
+        for k in range(1, 16):
+            out = jnp.maximum(out, m9[k])
+        return out
+
+    bright = arc9_min(ds)
+    dark = arc9_min([-d for d in ds])
+    sc = jnp.maximum(jnp.maximum(bright, dark), 0.0)  # (S+2, W+2)
+
+    # 3x3 NMS on the halo'd score (peak keeps its score, else 0).
+    center = sc[1 : 1 + S, 1 : 1 + W]
+    neigh = center
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            if dy == 1 and dx == 1:
+                continue
+            neigh = jnp.maximum(neigh, sc[dy : dy + S, dx : dx + W])
+    is_peak = center >= neigh
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (S, W), 0) + i * S
+    cols = jax.lax.broadcasted_iota(jnp.int32, (S, W), 1)
+    ok = (
+        (rows >= row0_h)
+        & (rows < row1)
+        & (rows < H_out)
+        & (cols >= col0)
+        & (cols < col1)
+    )
+    out_ref[0] = jnp.where(is_peak & ok, center, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("border",))
+def fast_score_nms_pallas(image: jax.Array, border: int = 16) -> jax.Array:
+    """FAST-9 score map with fused NMS + border mask (TPU Pallas).
+
+    Drop-in equivalent of ``nms_and_border(fast_score_map(img), border)``
+    (ops/fast.py) — golden-tested against that pair.  Grid = overlapping
+    row strips pre-stacked in XLA (a cheap (G, S+8, W+8) copy) so the
+    kernel itself is pure VMEM vector work with static shapes.
+    """
+    H, W = image.shape
+    S = _FAST_STRIP
+    G = -(-H // S)
+    Wp = -(-W // 128) * 128
+    P = _FAST_PAD
+    # Pad: edge-replicate (values outside are masked by the border test
+    # anyway).  Total width must stay lane-aligned (128) because each
+    # grid step DMAs a full-width strip: left pad P, right pad fills to
+    # Wp + 128.
+    padded = jnp.pad(
+        image,
+        ((P, G * S - H + P), (P, Wp + 128 - W - P)),
+        mode="edge",
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _fast_nms_kernel,
+            W=Wp,
+            row0_h=border,
+            row1=H - border,
+            col0=border,
+            col1=W - border,
+            H_out=H,
+        ),
+        out_shape=jax.ShapeDtypeStruct((G, S, Wp), jnp.float32),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, S, Wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((S + 2 * P, Wp + 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=_use_interpret(),
+    )(padded)
+    return out.reshape(G * S, Wp)[:H, :W]

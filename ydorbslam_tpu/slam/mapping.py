@@ -272,49 +272,19 @@ def snapshot_layout(K: int):
     return off, o
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "scale_factor", "n_levels", "iters1", "iters2",
-        "win_cap", "fix_cap", "pts_cap", "obs_cap", "n_neighbors",
-    ),
-    donate_argnums=(0,),
-)
-def mapping_step(
+def _prep_core(
     m: MapState,
     kf_id,
     kf_count,
     cam: CameraIntrinsics,
-    inv_sigma2_tab: jax.Array,
-    depth_threshold: jax.Array,
-    scale_factor: float = 1.2,
-    n_levels: int = 8,
-    iters1: int = 5,
-    iters2: int = 10,
-    win_cap: int = LBA_WIN,
-    fix_cap: int = LBA_FIX,
-    pts_cap: int = LBA_PTS,
-    obs_cap: int = 0,
-    n_neighbors: int = 10,
+    scale_factor: float,
+    n_levels: int,
+    n_neighbors: int,
 ):
-    """The WHOLE per-keyframe LocalMapping pipeline as ONE device
-    program (localMapping.cpp:8-53 re-expressed):
-
-      cull recent points -> on-device covisible-neighbor top-k ->
-      epipolar triangulation per neighbor (fori) -> point refresh ->
-      two-way fusion per neighbor (fori) -> refresh -> local BA ->
-      redundant-keyframe culling.
-
-    The reference runs this on its mapping thread with ~30 fine-grained
-    steps; dispatching those individually from the host costs a round
-    trip each through the remote-TPU tunnel.  Host control flow needs
-    nothing mid-pipeline: neighbor selection moves on device, and the
-    packed snapshot (second return) carries everything the host's
-    bookkeeping reads, fetched asynchronously.
-
-    Returns (map', snapshot_vec (SNAP_LEN,) f32).
-    """
-    from ..geometry.se3 import inv_T as _inv_T
+    """Per-keyframe map maintenance: cull recent points -> on-device
+    covisible-neighbor top-k -> epipolar triangulation per neighbor ->
+    point refresh -> two-way fusion per neighbor -> refresh
+    (localMapping.cpp:63-294 without the BA/cull tail)."""
     from .map_state import refresh_points
     from .triangulate import fuse_into_kf_body, triangulate_neighbor_body
 
@@ -361,7 +331,32 @@ def mapping_step(
         m, jnp.where(m.kf_mp[kf_id] >= 0, m.kf_mp[kf_id], -1),
         scale_factor, n_levels,
     )
+    return m
 
+
+def _finish_core(
+    m: MapState,
+    kf_id,
+    cam: CameraIntrinsics,
+    inv_sigma2_tab: jax.Array,
+    depth_threshold: jax.Array,
+    iters1: int,
+    iters2: int,
+    win_cap: int,
+    fix_cap: int,
+    pts_cap: int,
+    obs_cap: int,
+):
+    """Local BA + redundant-keyframe culling + packed snapshot
+    (localMapping.cpp:29,371-405; optimizer.cpp:138-352).
+
+    Split from ``_prep_core`` so the pipelined system can run it once
+    per drained keyframe BATCH instead of per keyframe: the reference's
+    local BA is force-stopped the moment a new keyframe enters the queue
+    (``interruptBA``, localMapping.cpp:54-58, optimizer.cpp:17-19), so
+    with several queued keyframes only the last one gets an
+    uninterrupted BA — this is the batch-drain equivalent.
+    """
     win, fixed, pts = select_local_window.__wrapped__(
         m, kf_id, win_cap, fix_cap, pts_cap
     )
@@ -399,6 +394,97 @@ def mapping_step(
         ]
     )
     return m, snap
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale_factor", "n_levels", "n_neighbors"),
+    donate_argnums=(0,),
+)
+def mapping_prep(
+    m: MapState,
+    kf_id,
+    kf_count,
+    cam: CameraIntrinsics,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+    n_neighbors: int = 10,
+):
+    """Jitted per-keyframe half of the mapping pipeline (no BA)."""
+    return _prep_core(m, kf_id, kf_count, cam, scale_factor, n_levels, n_neighbors)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "iters1", "iters2", "win_cap", "fix_cap", "pts_cap", "obs_cap",
+    ),
+    donate_argnums=(0,),
+)
+def mapping_finish(
+    m: MapState,
+    kf_id,
+    cam: CameraIntrinsics,
+    inv_sigma2_tab: jax.Array,
+    depth_threshold: jax.Array,
+    iters1: int = 5,
+    iters2: int = 10,
+    win_cap: int = LBA_WIN,
+    fix_cap: int = LBA_FIX,
+    pts_cap: int = LBA_PTS,
+    obs_cap: int = 0,
+):
+    """Jitted per-batch half: local BA + KF culling + snapshot."""
+    return _finish_core(
+        m, kf_id, cam, inv_sigma2_tab, depth_threshold,
+        iters1, iters2, win_cap, fix_cap, pts_cap, obs_cap,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "scale_factor", "n_levels", "iters1", "iters2",
+        "win_cap", "fix_cap", "pts_cap", "obs_cap", "n_neighbors",
+    ),
+    donate_argnums=(0,),
+)
+def mapping_step(
+    m: MapState,
+    kf_id,
+    kf_count,
+    cam: CameraIntrinsics,
+    inv_sigma2_tab: jax.Array,
+    depth_threshold: jax.Array,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+    iters1: int = 5,
+    iters2: int = 10,
+    win_cap: int = LBA_WIN,
+    fix_cap: int = LBA_FIX,
+    pts_cap: int = LBA_PTS,
+    obs_cap: int = 0,
+    n_neighbors: int = 10,
+):
+    """The WHOLE per-keyframe LocalMapping pipeline as ONE device
+    program (localMapping.cpp:8-53 re-expressed): ``_prep_core`` (cull,
+    triangulate, fuse, refresh) followed by ``_finish_core`` (local BA,
+    keyframe culling, packed snapshot).
+
+    The reference runs this on its mapping thread with ~30 fine-grained
+    steps; dispatching those individually from the host costs a round
+    trip each through the remote-TPU tunnel.  Host control flow needs
+    nothing mid-pipeline: neighbor selection moves on device, and the
+    packed snapshot (second return) carries everything the host's
+    bookkeeping reads, fetched asynchronously.
+
+    Returns (map', snapshot_vec (SNAP_LEN,) f32).
+    """
+    m = _prep_core(m, kf_id, kf_count, cam, scale_factor, n_levels, n_neighbors)
+    return _finish_core(
+        m, kf_id, cam, inv_sigma2_tab, depth_threshold,
+        iters1, iters2, win_cap, fix_cap, pts_cap, obs_cap,
+    )
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))

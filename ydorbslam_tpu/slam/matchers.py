@@ -184,6 +184,76 @@ def match_motion_model(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_levels", "scale_factor", "th_narrow", "th_wide")
+)
+def match_motion_model_two(
+    cam: CameraIntrinsics,
+    curr: FrameFeatures,
+    last: FrameFeatures,
+    last_landmarks_w: jax.Array,
+    last_lm_valid: jax.Array,
+    T_cw_pred: jax.Array,
+    T_cw_last: jax.Array,
+    th_narrow: float = 7.0,
+    th_wide: float = 14.0,
+    n_levels: int = 8,
+    scale_factor: float = 1.2,
+) -> Tuple[jax.Array, jax.Array]:
+    """Both window widths of the motion-model search from ONE Hamming
+    matrix.
+
+    The reference searches with th=7 and, when fewer than 20 matches
+    come back, repeats the whole search with 2*th (tracking.cpp:450-460).
+    The XOR+popcount matrix is by far the expensive part and the narrow
+    window is a subset of the wide one, so this computes distances once
+    under the wide gates and re-resolves under the narrow mask.
+
+    Returns (assign_narrow, assign_wide), each (N,) int32 into last.
+    """
+    scales = scale_factor ** jnp.arange(n_levels, dtype=jnp.float32)
+    proj = project_sources(cam, T_cw_pred, last_landmarks_w, last_lm_valid)
+    T_rel = T_cw_pred @ jnp.linalg.inv(T_cw_last)
+    tz = T_rel[2, 3]
+    baseline = cam.bf / cam.fx
+    forward = tz > baseline
+    backward = tz < -baseline
+    o = last.octave
+    oct_lo = jnp.where(forward, o, jnp.where(backward, 0, o - 1))
+    oct_hi = jnp.where(forward, n_levels, jnp.where(backward, o, o + 1))
+    r_narrow = (th_narrow * scales[last.octave])[:, None]
+    r_wide = (th_wide * scales[last.octave])[:, None]
+
+    du = jnp.abs(curr.uv[None, :, 0] - proj.uv[:, None, 0])
+    dv = jnp.abs(curr.uv[None, :, 1] - proj.uv[:, None, 1])
+    oct_ok = (curr.octave[None, :] >= oct_lo[:, None]) & (
+        curr.octave[None, :] <= oct_hi[:, None]
+    )
+    has_r = curr.right_u[None, :] >= 0
+    dur = jnp.abs(curr.right_u[None, :] - proj.ur[:, None])
+    win_wide = (du <= r_wide) & (dv <= r_wide) & jnp.where(
+        has_r, dur <= r_wide, True
+    )
+    win_narrow = (du <= r_narrow) & (dv <= r_narrow) & jnp.where(
+        has_r, dur <= r_narrow, True
+    )
+    d = masked_distance_matrix(
+        last.desc, curr.desc, proj.valid, curr.valid, oct_ok & win_wide
+    )
+    d = jnp.where(d <= TH_HIGH, d, INVALID_DIST)
+
+    def finish(dm):
+        assign, _ = resolve_unique(dm)
+        matched = assign >= 0
+        ang_src = last.angle[jnp.clip(assign, 0, last.angle.shape[0] - 1)]
+        keep = rotation_histogram_mask(curr.angle, ang_src, matched)
+        return jnp.where(keep, assign, -1)
+
+    assign_wide = finish(d)
+    assign_narrow = finish(jnp.where(win_narrow, d, INVALID_DIST))
+    return assign_narrow, assign_wide
+
+
 def predict_scale_level(
     dist: jax.Array, max_dist: jax.Array, n_levels: int, scale_factor: float
 ) -> jax.Array:

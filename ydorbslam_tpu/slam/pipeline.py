@@ -37,7 +37,7 @@ from ..geometry.se3 import inv_T
 from ..ops.extractor import FrameFeatures, extract_orb
 from ..ops.stereo import fill_depth_from_rgbd
 from ..optim.pose import PoseObservations, optimize_pose
-from .matchers import match_local_points, match_motion_model
+from .matchers import match_local_points, match_motion_model_two
 
 MODE_INIT = 0
 MODE_OK = 1
@@ -236,13 +236,10 @@ def _track_core(
 
     # ---------- branch: motion-model tracking ----------
     T_pred = state.velocity @ state.T_cw
-    assign7, _ = match_motion_model(
+    assign7, assign14 = match_motion_model_two(
         cam, feats, state.last, state.last_lms, state.last_lms_valid,
-        T_pred, state.T_cw, th=7.0, n_levels=n_levels, scale_factor=scale_factor,
-    )
-    assign14, _ = match_motion_model(
-        cam, feats, state.last, state.last_lms, state.last_lms_valid,
-        T_pred, state.T_cw, th=14.0, n_levels=n_levels, scale_factor=scale_factor,
+        T_pred, state.T_cw, th_narrow=7.0, th_wide=14.0,
+        n_levels=n_levels, scale_factor=scale_factor,
     )
     use_wide = jnp.sum(assign7 >= 0) < 20
     assign = jnp.where(use_wide, assign14, assign7)

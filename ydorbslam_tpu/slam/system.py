@@ -400,7 +400,14 @@ class SlamSystem:
             self._drain_batch()
 
     def _drain_batch(self):
-        """Fetch the info ring once; process every pending frame."""
+        """Fetch the info ring once; process every pending frame.
+
+        Keyframes inserted while draining run only the per-keyframe
+        mapping half (triangulate/fuse); the local BA + keyframe-culling
+        half runs ONCE at the end of the batch on the newest keyframe —
+        the reference's ``interruptBA`` semantics (localMapping.cpp:54-58:
+        a queued keyframe force-stops the running local BA, so only the
+        last keyframe of a burst gets a full BA)."""
         from .pipeline import RING, FrameInfo
 
         if not self._pending:
@@ -409,9 +416,53 @@ class SlamSystem:
         ring = np.asarray(self._dstate.ring_info)  # ONE small fetch
         batch = self._pending
         self._pending = []
+        self._batch_inserted = False
+        self._ba_pending = False
         for timestamp, fid in batch:
             info = FrameInfo.unpack(ring[fid % RING])
             self._drain_one(timestamp, info)
+        if self._ba_pending:
+            self._run_deferred_ba()
+        if self._batch_inserted:
+            self._refresh_trkset()
+
+    def _ba_caps(self):
+        """Static local-BA capacity bucket for the current map size.
+
+        A young map never fills the full BA window, and local-BA cost
+        scales with win*pts*obs.  Two compiled sizes (small for the
+        first keyframes, full afterwards) keep the early sequence fast
+        without touching behavior — the small caps still exceed the
+        actual map content."""
+        cap = self.cfg.capacity
+        if self.n_keyframes <= min(20, cap.local_ba_window_kf // 2):
+            return (
+                max(4, cap.local_ba_window_kf // 2),
+                max(2, cap.local_ba_fixed_kf // 2),
+                max(256, cap.local_ba_max_points // 2),
+            )
+        return (
+            cap.local_ba_window_kf,
+            cap.local_ba_fixed_kf,
+            cap.local_ba_max_points,
+        )
+
+    def _run_deferred_ba(self):
+        """Batch-deferred local BA + keyframe culling on the newest KF."""
+        from .mapping import mapping_finish
+
+        cfg = self.cfg
+        win_cap, fix_cap, pts_cap = self._ba_caps()
+        self.map, snap_vec = mapping_finish(
+            self.map, jnp.int32(self.ref_kf), self.cam,
+            self.inv_sigma2_tab, jnp.float32(self.depth_threshold),
+            iters1=cfg.optim.local_ba_iters_1,
+            iters2=cfg.optim.local_ba_iters_2,
+            win_cap=win_cap, fix_cap=fix_cap, pts_cap=pts_cap,
+            obs_cap=cfg.capacity.local_ba_obs,
+        )
+        self._ba_pending = False
+        self._stash_snapshot(snap_vec)
 
     def _drain_one(self, timestamp, info):
         from .pipeline import MODE_LOST, read_ring
@@ -450,10 +501,11 @@ class SlamSystem:
             if first or self._pipe_frames_since_kf >= 2:
                 feats, mpid, T = read_ring(self._dstate, int(info.ring_slot))
                 self._insert_keyframe(
-                    timestamp, feats, T, matched_mp=None if first else mpid
+                    timestamp, feats, T, matched_mp=None if first else mpid,
+                    defer_ba=True, T_host=info.T_cw,
                 )
                 self._pipe_frames_since_kf = 0
-                self._refresh_trkset()
+                self._batch_inserted = True
 
     def _pipelined_relocalize(self, timestamp, slot):
         """Synchronous relocalization from a ring frame; on success the
@@ -789,7 +841,10 @@ class SlamSystem:
         self._snap["kf_valid"][slot] = True
         return slot
 
-    def _insert_keyframe(self, timestamp, feats, T_cw, matched_mp=None, force=False):
+    def _insert_keyframe(
+        self, timestamp, feats, T_cw, matched_mp=None, force=False,
+        defer_ba=False, T_host=None,
+    ):
         cfg = self.cfg
         slot = self._alloc_kf_slot()
         if slot is None:
@@ -818,41 +873,49 @@ class SlamSystem:
         )
 
         if self.n_keyframes > 2:
-            # The WHOLE LocalMapping pipeline (cull -> triangulate ->
-            # fuse -> local BA -> KF cull) is ONE device program with
-            # on-device neighbor selection; its packed snapshot is
+            # The LocalMapping pipeline (cull -> triangulate -> fuse ->
+            # local BA -> KF cull) runs as fused device programs with
+            # on-device neighbor selection; the packed snapshot is
             # fetched asynchronously and consumed at the next host
             # decision point (localMapping.cpp:8-53, SURVEY.md §2c P1).
-            from .mapping import mapping_step
+            # ``defer_ba`` runs only the per-keyframe half here and
+            # leaves the BA half to the caller's batch boundary
+            # (interruptBA semantics, localMapping.cpp:54-58).
+            win_cap, fix_cap, pts_cap = self._ba_caps()
+            if defer_ba:
+                from .mapping import mapping_prep
 
-            # Size buckets: a young map never fills the full BA window,
-            # and local-BA cost scales with win*pts*obs.  Two compiled
-            # sizes (small for the first keyframes, full afterwards)
-            # keep the early sequence fast without touching behavior —
-            # the small caps still exceed the actual map content.
-            cap = cfg.capacity
-            if self.n_keyframes <= min(20, cap.local_ba_window_kf // 2):
-                win_cap = max(4, cap.local_ba_window_kf // 2)
-                fix_cap = max(2, cap.local_ba_fixed_kf // 2)
-                pts_cap = max(256, cap.local_ba_max_points // 2)
+                self.map = mapping_prep(
+                    self.map, jnp.int32(slot), jnp.int32(self.n_keyframes),
+                    self.cam,
+                    scale_factor=cfg.orb.scale_factor,
+                    n_levels=cfg.orb.n_levels,
+                )
+                self._ba_pending = True
+                # Host-side snapshot patch: subsequent records in this
+                # batch decompose against the NEW reference keyframe.
+                if T_host is not None and getattr(self, "_snap", None):
+                    self._snap["ref_pose"] = np.asarray(T_host, np.float64)
+                    fid = np.array(self._snap["kf_frame_id"])
+                    fid[slot] = self.frame_id
+                    self._snap["kf_frame_id"] = fid
             else:
-                win_cap = cap.local_ba_window_kf
-                fix_cap = cap.local_ba_fixed_kf
-                pts_cap = cap.local_ba_max_points
-            self.map, snap_vec = mapping_step(
-                self.map, jnp.int32(slot), jnp.int32(self.n_keyframes),
-                self.cam, self.inv_sigma2_tab,
-                jnp.float32(self.depth_threshold),
-                scale_factor=cfg.orb.scale_factor,
-                n_levels=cfg.orb.n_levels,
-                iters1=cfg.optim.local_ba_iters_1,
-                iters2=cfg.optim.local_ba_iters_2,
-                win_cap=win_cap,
-                fix_cap=fix_cap,
-                pts_cap=pts_cap,
-                obs_cap=cap.local_ba_obs,
-            )
-            self._stash_snapshot(snap_vec)
+                from .mapping import mapping_step
+
+                self.map, snap_vec = mapping_step(
+                    self.map, jnp.int32(slot), jnp.int32(self.n_keyframes),
+                    self.cam, self.inv_sigma2_tab,
+                    jnp.float32(self.depth_threshold),
+                    scale_factor=cfg.orb.scale_factor,
+                    n_levels=cfg.orb.n_levels,
+                    iters1=cfg.optim.local_ba_iters_1,
+                    iters2=cfg.optim.local_ba_iters_2,
+                    win_cap=win_cap,
+                    fix_cap=fix_cap,
+                    pts_cap=pts_cap,
+                    obs_cap=cfg.capacity.local_ba_obs,
+                )
+                self._stash_snapshot(snap_vec)
         else:
             self._refresh_snapshot()
         if self.loop_closer is not None and self.n_keyframes > 2:
