@@ -6,15 +6,28 @@ Replaces the reference's intensity-centroid orientation
 :56-313).
 
 TPU-first design decisions:
-  * Keypoint neighborhoods are gathered ONCE into fixed-size patches
-    ((K, P, P) tensors); everything downstream is dense batched math on
-    those patches — no per-keypoint pointer chasing.
-  * The sampling pattern is NOT the OpenCV table: since this framework
-    replaces the BoW vocabulary with dense Hamming retrieval, descriptors
-    only need to be self-consistent, so we draw the classic BRIEF
-    Gaussian test pattern (sigma = patch/5, Calonder et al. 2010) from a
-    fixed seed.  Same 256 bits, same rotation-steering math, zero code
-    copied.
+  * Keypoint neighborhoods are gathered ONCE into fixed-size uint8
+    patches ((K, 45, 45)); orientation, the descriptor blur and the
+    BRIEF tests are all dense batched math on those patches — no
+    per-keypoint pointer chasing and no second gather.
+  * Rotation steering is quantized to 32 angle bins (11.25 deg).  The
+    rotated-and-rounded sample offsets for each bin are baked into a
+    constant signed selection tensor, so sampling the 512 test points
+    becomes ONE bf16 matmul on the MXU: diff = patch_flat @ D[bin]^T,
+    bit = diff < 0.  (The ORB paper itself steers with 12-deg
+    quantization; the reference steers per-keypoint with cvRound — the
+    residual <=5.6 deg quantization error shifts samples by <1.3 px,
+    which the descriptor's own blur absorbs.  Descriptors here only
+    need self-consistency: the whole system matches descriptors
+    produced by this same extractor.)
+  * The 7x7 sigma=2 descriptor blur (src/orbExtractor.cpp:386-388) runs
+    inside the patch as two small constant matmuls (45x45 -> 39x39
+    valid region), not over the full image.
+  * The sampling pattern is NOT the OpenCV table: descriptors only need
+    to be self-consistent (retrieval is dense Hamming, not a trained
+    vocabulary), so we draw the classic BRIEF Gaussian test pattern
+    (sigma = patch/5, Calonder et al. 2010) from a fixed seed.  Same
+    256 bits, same steering math, zero code copied.
   * Bit packing to uint32[8] lanes for VPU popcount matching
     (ops/hamming.py).
 """
@@ -25,12 +38,17 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 HALF_PATCH = 15  # orientation patch radius (reference patchSize 31)
-BRIEF_HALF = 19  # descriptor patch half-size: |pattern| <= 13, rotated <= 13*sqrt2
+BRIEF_HALF = 19  # descriptor patch half-size: |pattern| <= 13, rotated <= 19
 BRIEF_P = 2 * BRIEF_HALF + 1  # 39
+BLUR_K = 7  # descriptor blur kernel (reference 7x7 sigma 2)
+RAW_HALF = BRIEF_HALF + BLUR_K // 2  # 22: raw patch half-size pre-blur
+RAW_P = 2 * RAW_HALF + 1  # 45
 ORIENT_P = 2 * HALF_PATCH + 1  # 31
 N_BITS = 256
+N_ANGLE_BINS = 32
 
 
 @functools.lru_cache()
@@ -46,20 +64,55 @@ def brief_pattern() -> np.ndarray:
 
 
 @functools.lru_cache()
-def _orientation_mask() -> np.ndarray:
-    """(31, 31) circular mask of radius 15 (reference umax circle)."""
+def _binned_diff_tensor() -> np.ndarray:
+    """(32, 256, 39*39) f32: signed sample-selection per angle bin.
+
+    Row (b, s) has +1 at test point A and -1 at test point B of pair s,
+    both rotated by bin angle b and rounded (the reference's cvRound
+    steering, src/orbExtractor.cpp:430-441).  bit = (patch @ row) < 0
+    == (I[A] < I[B]).
+    """
+    pat = brief_pattern().astype(np.float64)
+    out = np.zeros((N_ANGLE_BINS, N_BITS, BRIEF_P * BRIEF_P), np.float32)
+    for b in range(N_ANGLE_BINS):
+        th = 2.0 * np.pi * b / N_ANGLE_BINS
+        c, s = np.cos(th), np.sin(th)
+        px, py = pat[..., 0], pat[..., 1]  # (256,2)
+        rx = np.round(px * c - py * s).astype(np.int64)
+        ry = np.round(px * s + py * c).astype(np.int64)
+        idx = (ry + BRIEF_HALF) * BRIEF_P + (rx + BRIEF_HALF)  # (256,2)
+        out[b, np.arange(N_BITS), idx[:, 0]] += 1.0
+        out[b, np.arange(N_BITS), idx[:, 1]] -= 1.0
+    return out
+
+
+@functools.lru_cache()
+def _blur_matrix() -> np.ndarray:
+    """(45, 39) valid-region 1D Gaussian blur operator (7 taps, sigma 2)."""
+    from .pyramid import _gaussian_kernel_1d
+
+    g = _gaussian_kernel_1d(BLUR_K, 2.0)
+    m = np.zeros((RAW_P, BRIEF_P), np.float32)
+    for i in range(BRIEF_P):
+        m[i : i + BLUR_K, i] = g
+    return m
+
+
+@functools.lru_cache()
+def _orientation_weights() -> tuple:
+    """(31,31) f32 weights x*mask and y*mask over the radius-15 disc."""
     dy, dx = np.mgrid[-HALF_PATCH : HALF_PATCH + 1, -HALF_PATCH : HALF_PATCH + 1]
-    return (dx * dx + dy * dy <= HALF_PATCH * HALF_PATCH).astype(np.float32)
+    mask = (dx * dx + dy * dy <= HALF_PATCH * HALF_PATCH).astype(np.float32)
+    return (dx * mask).astype(np.float32), (dy * mask).astype(np.float32)
 
 
-def extract_patches(
-    image: jax.Array, uv: jax.Array, half: int
-) -> jax.Array:
+def extract_patches(image: jax.Array, uv: jax.Array, half: int) -> jax.Array:
     """Gather (K, 2*half+1, 2*half+1) patches centered at integer uv.
 
     ``image`` is pre-padded by the caller with at least ``half`` pixels;
     ``uv`` must already include the pad offset.  Implemented as a vmapped
     dynamic_slice — XLA lowers this to an efficient batched gather.
+    Keep the image uint8 where possible: the gather cost is byte-bound.
     """
     p = 2 * half + 1
     ui = jnp.round(uv[:, 0]).astype(jnp.int32)
@@ -77,40 +130,45 @@ def orientation_from_patches(patches: jax.Array) -> jax.Array:
     theta = atan2(m01, m10) with moments over the radius-15 disc
     (reference computeOrientation, src/orbExtractor.cpp:400-421).
     """
-    mask = jnp.asarray(_orientation_mask())
-    coords = jnp.arange(-HALF_PATCH, HALF_PATCH + 1, dtype=jnp.float32)
-    masked = patches * mask[None]
-    m10 = jnp.einsum("kyx,x->k", masked, coords)
-    m01 = jnp.einsum("kyx,y->k", masked, coords)
+    wx, wy = _orientation_weights()
+    patches = patches.astype(jnp.float32)
+    m10 = jnp.einsum("kyx,yx->k", patches, jnp.asarray(wx))
+    m01 = jnp.einsum("kyx,yx->k", patches, jnp.asarray(wy))
     return jnp.arctan2(m01, m10)
+
+
+def blur_patches(patches: jax.Array) -> jax.Array:
+    """Separable 7x7 sigma-2 Gaussian blur inside the patch:
+    (K, 45, 45) -> (K, 39, 39) valid region, as two constant matmuls."""
+    B = jnp.asarray(_blur_matrix())
+    patches = patches.astype(jnp.float32)
+    return jnp.einsum("kab,ac,bd->kcd", patches, B, B)
 
 
 def brief_from_patches(patches: jax.Array, angles: jax.Array) -> jax.Array:
     """Steered BRIEF: (K, 39, 39) blurred patches + (K,) angles -> (K, 8) uint32.
 
-    Each of the 256 test pairs is rotated by the keypoint angle
-    (nearest-neighbor sampling, like the reference's cvRound steering,
-    src/orbExtractor.cpp:422-454), compared, and packed little-endian
-    into 8 uint32 lanes.
+    Angle is quantized to 32 bins; each bin's rotated test pairs are a
+    constant signed selection matrix, so all 512 samples + 256
+    comparisons per keypoint collapse into one bf16 matmul (see module
+    docstring).  Packing is little-endian into 8 uint32 lanes.
     """
-    pat = jnp.asarray(brief_pattern(), dtype=jnp.float32)  # (256,2,2) [x,y]
-    cos, sin = jnp.cos(angles), jnp.sin(angles)  # (K,)
-    px, py = pat[..., 0], pat[..., 1]  # (256,2)
-    # Rotated integer sample offsets per keypoint: (K, 256, 2)
-    rx = jnp.round(px[None] * cos[:, None, None] - py[None] * sin[:, None, None])
-    ry = jnp.round(px[None] * sin[:, None, None] + py[None] * cos[:, None, None])
-    idx = (
-        (ry.astype(jnp.int32) + BRIEF_HALF) * BRIEF_P
-        + rx.astype(jnp.int32)
-        + BRIEF_HALF
-    )  # (K,256,2)
-    flat = patches.reshape(patches.shape[0], BRIEF_P * BRIEF_P)
-    samples = jnp.take_along_axis(
-        flat[:, None, :].repeat(2, axis=1),
-        idx.transpose(0, 2, 1),
-        axis=-1,
-    )  # (K,2,256)
-    bits = (samples[:, 0, :] < samples[:, 1, :]).astype(jnp.uint32)  # (K,256)
-    lanes = bits.reshape(bits.shape[0], 8, 32)
+    K = patches.shape[0]
+    D = jnp.asarray(_binned_diff_tensor())  # (32,256,1521) f32
+    flat = patches.reshape(K, BRIEF_P * BRIEF_P).astype(jnp.float32)
+    bins = jnp.round(angles / (2.0 * np.pi / N_ANGLE_BINS)).astype(jnp.int32)
+    bins = bins % N_ANGLE_BINS
+    onehot = jax.nn.one_hot(bins, N_ANGLE_BINS, dtype=jnp.float32)  # (K,32)
+    # (32,K,256): every bin's comparison for every keypoint — 32x
+    # redundant FLOPs, but it is one big MXU matmul instead of a
+    # per-keypoint gather, which is the fast trade on TPU.  bf16x3
+    # (HIGH) keeps near-tie comparisons exact enough that descriptor
+    # bits are stable — plain bf16 flips low-contrast bits.
+    diffs = jnp.einsum(
+        "kp,bsp->bks", flat, D, precision=lax.Precision.HIGH
+    ).astype(jnp.float32)
+    d = jnp.einsum("bks,kb->ks", diffs, onehot)  # (K,256)
+    bits = (d < 0).astype(jnp.uint32)
+    lanes = bits.reshape(K, 8, 32)
     shifts = jnp.arange(32, dtype=jnp.uint32)
     return jnp.sum(lanes << shifts[None, None, :], axis=-1).astype(jnp.uint32)

@@ -27,18 +27,18 @@ import numpy as np
 
 from ..geometry.camera import CameraIntrinsics, undistort_points
 from .descriptors import (
-    BRIEF_HALF,
     HALF_PATCH,
+    RAW_HALF,
+    blur_patches,
     brief_from_patches,
     extract_patches,
     orientation_from_patches,
 )
 from .fast import fast_score_map, nms_and_border, two_threshold_mask
-from .pyramid import build_pyramid, gaussian_blur, scale_factors
+from .pyramid import build_pyramid, scale_factors
 from .select import level_budgets, select_topk_cells
 
 DETECT_BORDER = 16  # reference maxPadSize-3 (src/orbExtractor.cpp:550-553)
-_BRIEF_PAD = 8
 
 
 class FrameFeatures(NamedTuple):
@@ -110,8 +110,8 @@ def extract_orb(
     if use_pallas:
         from .pallas_kernels import fast_score_nms_pallas
 
-    uvs, uvs_lvl_blur = [], []
-    resps, octs, angs, descs, valids = [], [], [], [], []
+    uvs, patches_l = [], []
+    resps, octs, valids = [], [], []
     for level in range(n_levels):
         lvl = pyr[level]
         k = budgets[level]
@@ -125,29 +125,33 @@ def extract_orb(
         score = two_threshold_mask(score, 32, float(th_high), float(th_low))
         uv_l, resp, valid = select_topk_cells(score, k)
 
-        # Orientation from the raw level image (reference blurs only for
-        # descriptors, src/orbExtractor.cpp:386-388).
-        opatches = extract_patches(lvl, uv_l, HALF_PATCH)
-        angles = orientation_from_patches(opatches)
-
-        blurred = gaussian_blur(lvl)
-        bpad = jnp.pad(blurred, _BRIEF_PAD, mode="edge")
-        bpatches = extract_patches(bpad, uv_l + _BRIEF_PAD, BRIEF_HALF)
-        desc = brief_from_patches(bpatches, angles)
+        # ONE raw uint8 patch per keypoint feeds orientation, the
+        # descriptor blur AND the BRIEF tests (gathers are byte-bound
+        # on TPU; the reference's pyramid is uint8 anyway).
+        lvl_u8 = jnp.clip(jnp.round(lvl), 0.0, 255.0).astype(jnp.uint8)
+        pad = jnp.pad(lvl_u8, RAW_HALF, mode="edge")
+        patches_l.append(extract_patches(pad, uv_l + RAW_HALF, RAW_HALF))
 
         uvs.append(uv_l * scales[level])
         resps.append(resp)
         octs.append(jnp.full((k,), level, jnp.int32))
-        angs.append(angles)
-        descs.append(desc)
         valids.append(valid)
 
     uv_raw = jnp.concatenate(uvs, axis=0)
     response = jnp.concatenate(resps, axis=0)
     octave = jnp.concatenate(octs, axis=0)
-    angle = jnp.concatenate(angs, axis=0)
-    desc = jnp.concatenate(descs, axis=0)
     valid = jnp.concatenate(valids, axis=0)
+
+    # Orientation (raw central 31x31), blur, BRIEF — fused across all
+    # levels so the selection matmuls see one large batch.
+    patches = jnp.concatenate(patches_l, axis=0).astype(jnp.float32)
+    c0 = RAW_HALF - HALF_PATCH
+    K_tot = patches.shape[0]
+    ctr = jax.lax.dynamic_slice(
+        patches, (0, c0, c0), (K_tot, 2 * HALF_PATCH + 1, 2 * HALF_PATCH + 1)
+    )
+    angle = orientation_from_patches(ctr)
+    desc = brief_from_patches(blur_patches(patches), angle)
 
     pad = capacity - uv_raw.shape[0]
     if pad < 0:
