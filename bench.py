@@ -47,6 +47,7 @@ def main():
     # appearance space, which would benchmark the verifier, not tracking.
     system = SlamSystem(cfg, Sensor.RGBD, enable_loop_closing=False)
     system.enable_pipelined(lag=8)
+    system.precompile()
     # Warmup: enough frames to trigger keyframe insertion + the mapping
     # pipeline so ALL programs compile outside the timed window.
     n_warm = 10

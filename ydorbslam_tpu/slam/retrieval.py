@@ -86,7 +86,7 @@ def empty_index(K: int) -> RetrievalIndex:
     )
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def add_keyframe(
     idx: RetrievalIndex, kf_id, desc: jax.Array, kp_valid: jax.Array
 ) -> RetrievalIndex:
@@ -98,13 +98,23 @@ def add_keyframe(
     )
 
 
-@jax.jit
-def remove_keyframe(idx: RetrievalIndex, kf_id) -> RetrievalIndex:
+@functools.partial(jax.jit, donate_argnums=(0,))
+def remove_keyframes(idx: RetrievalIndex, kf_ids: jax.Array) -> RetrievalIndex:
+    """Batched KeyFrameDatabase::erase: clear every id in ``kf_ids``
+    ((R,) i32, -1 padded) with ONE dispatch — keyframe culling erases a
+    handful of entries at once and per-id dispatches cost a host round
+    trip each."""
+    K = idx.valid.shape[0]
+    rows = jnp.where(kf_ids >= 0, kf_ids, K)  # -1 -> dropped row
     return RetrievalIndex(
-        hist=idx.hist.at[kf_id].set(0.0),
-        presence=idx.presence.at[kf_id].set(0.0),
-        valid=idx.valid.at[kf_id].set(False),
+        hist=idx.hist.at[rows].set(0.0, mode="drop"),
+        presence=idx.presence.at[rows].set(0.0, mode="drop"),
+        valid=idx.valid.at[rows].set(False, mode="drop"),
     )
+
+
+def remove_keyframe(idx: RetrievalIndex, kf_id) -> RetrievalIndex:
+    return remove_keyframes(idx, jnp.asarray([kf_id], jnp.int32))
 
 
 @jax.jit

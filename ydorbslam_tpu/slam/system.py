@@ -152,6 +152,83 @@ class SlamSystem:
             self.loop_closer = LoopCloser(self)
         self._frame_mpid = None  # (N,) map-point id per current-frame kp
 
+    def precompile(self):
+        """Compile every steady-state device program up front.
+
+        JAX compiles per argument shape on FIRST call; behind the remote
+        tunnel a compile stalls tracking for 0.5-2 s when it lands
+        mid-sequence (the first keyframe cull, the first full-size local
+        BA window...).  This runs each program once on throwaway scratch
+        state — the live map/tracker are untouched.  Requires pipelined
+        mode (``enable_pipelined`` first).  Rare recovery paths
+        (relocalization, loop closing) still compile on first use.
+        """
+        from .map_state import insert_keyframe as _insert
+        from .mapping import SNAP_CULL_CAP, mapping_finish, mapping_prep
+        from .pipeline import empty_track_state, read_ring
+        from .pipeline import rgbd_frame_step, stereo_frame_step
+        from .retrieval import add_keyframe, empty_index, remove_keyframes
+
+        cfg = self.cfg
+        cap = cfg.capacity
+        o = cfg.orb
+        img = jnp.zeros((cfg.camera.height, cfg.camera.width), jnp.float32)
+        kw = dict(
+            n_features=o.n_features, capacity=cfg.n_keypoints,
+            n_levels=o.n_levels, scale_factor=o.scale_factor,
+            th_high=o.ini_th_fast, th_low=o.min_th_fast,
+            min_motion=cfg.tracking.min_matches_motion,
+            min_local=cfg.tracking.min_matches_local_map,
+            close_tracked_max=cfg.tracking.kf_close_tracked_max,
+            close_untracked_min=cfg.tracking.kf_close_untracked_min,
+        )
+        st = empty_track_state(cfg.n_keypoints)
+        if self.sensor == Sensor.RGBD:
+            st = rgbd_frame_step(
+                st, img, img, self._trkset, self.cam, self.inv_sigma2_tab,
+                jnp.float32(self.depth_threshold), **kw,
+            )
+        else:
+            st = stereo_frame_step(
+                st, img, img, self._trkset, self.cam, self.inv_sigma2_tab,
+                jnp.float32(self.depth_threshold), **kw,
+            )
+        feats, mpid, T = read_ring(st, 0)
+
+        m = jax.tree.map(jnp.copy, self.map)
+        m, _ = _insert(
+            m, 0, 0, 0.0, feats, T, mpid, self.cam,
+            jnp.float32(self.depth_threshold), jnp.int32(0),
+            scale_factor=o.scale_factor, n_levels=o.n_levels,
+        )
+        m = mapping_prep(
+            m, jnp.int32(0), jnp.int32(3), self.cam,
+            scale_factor=o.scale_factor, n_levels=o.n_levels,
+        )
+        # Both local-BA capacity buckets (small early-map + full).
+        saved = self.n_keyframes
+        for nkf in (0, cap.local_ba_window_kf):
+            self.n_keyframes = nkf
+            win_cap, fix_cap, pts_cap = self._ba_caps()
+            m, _ = mapping_finish(
+                m, jnp.int32(0), self.cam, self.inv_sigma2_tab,
+                jnp.float32(self.depth_threshold),
+                iters1=cfg.optim.local_ba_iters_1,
+                iters2=cfg.optim.local_ba_iters_2,
+                win_cap=win_cap, fix_cap=fix_cap, pts_cap=pts_cap,
+                obs_cap=cap.local_ba_obs,
+            )
+        self.n_keyframes = saved
+        idx = empty_index(cap.max_keyframes)
+        idx = add_keyframe(idx, 0, m.kf_desc[0], m.kf_kp_valid[0])
+        idx = remove_keyframes(
+            idx, jnp.full((SNAP_CULL_CAP,), -1, jnp.int32)
+        )
+        _select_tracking_set(self.map, 0, cap.tracking_points)
+        for min_obs in (2, 3):
+            _count_ref_tracked(self.map, 0, min_obs)
+        jax.block_until_ready(m)
+
     # ------------------------------------------------------------------
     # host graph snapshot: ONE bulk device->host fetch per refresh.
     # Remote-TPU dispatch latency makes each individual np.asarray read
@@ -688,10 +765,12 @@ class SlamSystem:
         if not culled:
             return
         # Keep the retrieval index in sync (KeyFrameDatabase::erase).
-        from .retrieval import remove_keyframe
+        from .mapping import SNAP_CULL_CAP
+        from .retrieval import remove_keyframes
 
-        for k in culled:
-            self.retrieval = remove_keyframe(self.retrieval, k)
+        ids = np.full((SNAP_CULL_CAP,), -1, np.int32)
+        ids[: len(culled)] = sorted(culled)[:SNAP_CULL_CAP]
+        self.retrieval = remove_keyframes(self.retrieval, jnp.asarray(ids))
         if self.ref_kf in culled:
             p = int(parent[self.ref_kf])
             if p >= 0:
