@@ -132,9 +132,12 @@ def alloc_slots(valid: jax.Array, want: jax.Array) -> jax.Array:
     r-th free slot index, or -1 if out of capacity."""
     rank = rank_free_slots(valid)  # (M,)
     n_slots = valid.shape[0]
-    # slot_of_rank[r] = index of r-th free slot
+    # slot_of_rank[r] = index of r-th free slot.  Occupied slots have
+    # rank -1 and MUST be routed out of bounds (dropped): clipping them
+    # to 0 made every occupied slot overwrite slot_of_rank[0], handing
+    # rank-0 allocations an already-occupied slot.
     slot_of_rank = jnp.full((n_slots,), -1, jnp.int32)
-    slot_of_rank = slot_of_rank.at[jnp.clip(rank, 0, n_slots - 1)].set(
+    slot_of_rank = slot_of_rank.at[jnp.where(rank >= 0, rank, n_slots)].set(
         jnp.arange(n_slots, dtype=jnp.int32), mode="drop"
     )
     slot_of_rank = jnp.where(
@@ -148,6 +151,14 @@ def alloc_slots(valid: jax.Array, want: jax.Array) -> jax.Array:
 # ----------------------------------------------------------------------
 # Observation management
 # ----------------------------------------------------------------------
+
+def obs_has_free(m: MapState, mp_ids: jax.Array) -> jax.Array:
+    """(B,) whether each point has a free observation slot.  Callers
+    that bind keypoints (kf_mp) must gate on this BEFORE binding so the
+    invariant "every binding has an obs entry" holds — map-point culling
+    clears bindings through the obs lists."""
+    return jnp.any(m.mp_obs_kf[jnp.clip(mp_ids, 0, m.M - 1)] < 0, axis=-1)
+
 
 def add_observations(
     m: MapState, mp_ids: jax.Array, kf_id, kp_idx: jax.Array, valid: jax.Array
@@ -229,7 +240,10 @@ def add_observations_multi(
     obs_oct = m.mp_obs_oct.at[mp_w, slot].set(
         oct_new.astype(jnp.int32), mode="drop"
     )
-    return m._replace(mp_obs_kf=obs_kf, mp_obs_kp=obs_kp, mp_obs_oct=obs_oct)
+    return (
+        m._replace(mp_obs_kf=obs_kf, mp_obs_kp=obs_kp, mp_obs_oct=obs_oct),
+        okw,
+    )
 
 
 def erase_observations(m: MapState, mp_ids: jax.Array, kf_ids: jax.Array) -> MapState:
@@ -360,19 +374,23 @@ def update_covisibility(m: MapState, kf_id) -> MapState:
     parent of a new keyframe is its strongest earlier neighbor.
     """
     ids = m.kf_mp[kf_id]  # (N,)
-    # Weights are counted from keypoint BINDINGS (kf_mp), not from the
-    # points' observation lists: obs lists are capacity-bounded (O
-    # slots) and saturate on long-lived points, which would silently
-    # undercount covisibility; bindings are exact.  (The reference
-    # iterates observation dicts, keyFrame.cpp:42-54, but its lists are
-    # unbounded.)
-    member = jnp.zeros((m.M,), bool).at[jnp.clip(ids, 0, m.M - 1)].set(
-        ids >= 0, mode="drop"
+    # Weights are counted from the points' OBSERVATION lists, exactly as
+    # the reference iterates observation dicts (keyFrame.cpp:42-54): for
+    # every point bound to this keyframe, each live observation votes
+    # for its keyframe.  A dense (N, O, K) compare-reduce replaces the
+    # previous (K, N)-sized gather from the (M,) membership table —
+    # XLA lowers that gather to a ~4ms serial fusion on TPU, while the
+    # 16M-element compare runs wide on the VPU in tens of microseconds.
+    # (Obs lists cap at O slots; points observed by >O keyframes
+    # undercount — the same points saturate any local window anyway.)
+    idc = jnp.clip(ids, 0, m.M - 1)
+    rows = m.mp_obs_kf[idc]  # (N,O) row gather
+    live = (ids >= 0)[:, None] & (rows >= 0)
+    votes = live[..., None] & (
+        rows[..., None] == jnp.arange(m.K, dtype=jnp.int32)[None, None, :]
     )
-    # count per other kf: how many of its kp map-point ids are in `member`
-    all_ids = jnp.clip(m.kf_mp, 0, m.M - 1)  # (K,N)
-    hits = member[all_ids] & (m.kf_mp >= 0) & m.kf_valid[:, None]
-    w = jnp.sum(hits, axis=-1).astype(jnp.int32)  # (K,)
+    w = jnp.sum(votes, axis=(0, 1)).astype(jnp.int32)  # (K,)
+    w = jnp.where(m.kf_valid, w, 0)
     w = w.at[kf_id].set(0)
     covis = m.covis.at[kf_id, :].set(w).at[:, kf_id].set(w)
     # Spanning tree: first connection -> parent = argmax weight among
@@ -448,6 +466,17 @@ def insert_keyframe(
     # 1. frame arrays into the keyframe slot
     matched_ok = (matched_mp >= 0) & feats.valid
     matched_ok &= m.mp_valid[jnp.clip(matched_mp, 0, m.M - 1)]
+    # Binding requires a free obs slot (see obs_has_free).
+    matched_ok &= obs_has_free(m, matched_mp)
+    # One binding per point: if two keypoints matched the same map point
+    # keep the lowest keypoint index (a duplicate binding would have no
+    # obs entry, breaking the obs<->binding invariant that map-point
+    # culling relies on).
+    mclip = jnp.clip(matched_mp, 0, m.M - 1)
+    first_kp = jnp.full((m.M + 1,), N, jnp.int32).at[
+        jnp.where(matched_ok, mclip, m.M)
+    ].min(idx.astype(jnp.int32), mode="drop")
+    matched_ok &= first_kp[mclip] == idx
 
     # 2. new close points for unmatched keypoints with depth
     close = feats.valid & (feats.depth > 0) & (feats.depth <= depth_threshold)

@@ -56,14 +56,31 @@ def cull_map_points(m: MapState, current_kf_count: jax.Array) -> MapState:
         | ((age == 2) & (n_obs <= 3))
         | (n_obs == 0)
     )
-    mp_valid = m.mp_valid & ~bad
-    # Clear keyframe slots pointing at dead points.
-    pt_ok = mp_valid[jnp.clip(m.kf_mp, 0, m.M - 1)] & (m.kf_mp >= 0)
-    kf_mp = jnp.where(pt_ok, m.kf_mp, -1)
-    # Clear dead points' observation lists.
-    obs_kf = jnp.where(mp_valid[:, None], m.mp_obs_kf, -1)
-    obs_kp = jnp.where(mp_valid[:, None], m.mp_obs_kp, -1)
-    return m._replace(mp_valid=mp_valid, kf_mp=kf_mp, mp_obs_kf=obs_kf, mp_obs_kp=obs_kp)
+    # Compact the dead set to a fixed budget and clear their bindings
+    # THROUGH their observation lists (exact (kf, kp) positions; the
+    # obs<->binding invariant is maintained by obs_has_free gating at
+    # every bind site).  The previous formulation cleared bindings with
+    # a dense (K, N)-sized gather from the (M,) validity table, which
+    # XLA lowers to a ~4ms serial fusion on TPU.  Overflow beyond the
+    # budget survives to the next call — its cull conditions persist.
+    CULL_CAP = 1024
+    bvals, bids = jax.lax.top_k(bad.astype(jnp.int32), min(CULL_CAP, m.M))
+    bok = bvals > 0
+    bidc = jnp.clip(bids, 0, m.M - 1)
+    row_w = jnp.where(bok, bidc, m.M)  # M -> dropped
+    mp_valid = m.mp_valid.at[row_w].set(False, mode="drop")
+    okf = m.mp_obs_kf[bidc]  # (CAP,O)
+    okp = m.mp_obs_kp[bidc]
+    kill = bok[:, None] & (okf >= 0)
+    kfw = jnp.where(kill, okf, m.K)
+    kf_mp = m.kf_mp.at[kfw.reshape(-1), jnp.clip(okp, 0, m.N - 1).reshape(-1)].set(
+        -1, mode="drop"
+    )
+    mp_obs_kf = m.mp_obs_kf.at[row_w].set(-1, mode="drop")
+    mp_obs_kp = m.mp_obs_kp.at[row_w].set(-1, mode="drop")
+    return m._replace(
+        mp_valid=mp_valid, kf_mp=kf_mp, mp_obs_kf=mp_obs_kf, mp_obs_kp=mp_obs_kp
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("win_cap", "fix_cap", "pts_cap"))

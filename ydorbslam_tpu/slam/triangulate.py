@@ -479,6 +479,9 @@ def fuse_into_kf_body(
     bound, cand_mp, _ = _fuse_candidate_fields(
         m, src_kf, dst_kf, active, cam, scale_factor, n_levels
     )
+    from .map_state import obs_has_free
+
+    bound &= obs_has_free(m, cand_mp)
     existing = m.kf_mp[dst_kf]
     empty_slot = existing < 0
     # Case A: empty slot -> bind + add observation.
@@ -554,6 +557,15 @@ def fuse_neighbors_batch(
     cand_obs = n_obs_tab[jnp.clip(cand, 0, m.M - 1)]
     exist_obs = n_obs_tab[jnp.clip(existing, 0, m.M - 1)]
     replace = bound & ~empty_slot & (cand_obs > exist_obs) & (cand != existing)
+    # Obs rows first: only entries that secured an obs slot may bind
+    # (binding<->obs invariant; a point can gain several obs here).
+    flat_pt = jnp.where(bind | replace, cand, -1).reshape(-1)
+    flat_kf = jnp.broadcast_to(kf2c[:, None], (B, m.N)).reshape(-1)
+    flat_kp = jnp.broadcast_to(jnp.arange(m.N)[None, :], (B, m.N)).reshape(-1)
+    m, okw = add_observations_multi(m, flat_pt, flat_kf, flat_kp, flat_pt >= 0)
+    okw = okw.reshape(B, m.N)
+    bind &= okw
+    replace &= okw
     new_rows = jnp.where(bind | replace, cand, existing)
     # Erase the replaced losers' observation of their dst keyframe:
     # exact (row, slot) scatter — same point may lose in several dst
@@ -573,13 +585,6 @@ def fuse_neighbors_batch(
         ),
         kf_mp=m.kf_mp.at[jnp.where(nok, kf2c, m.K)].set(new_rows, mode="drop"),
     )
-    flat_pt = jnp.where((bind | replace), cand, -1).reshape(-1)
-    flat_kf = jnp.broadcast_to(kf2c[:, None], (B, m.N)).reshape(-1)
-    flat_kp = jnp.broadcast_to(jnp.arange(m.N)[None, :], (B, m.N)).reshape(-1)
-    m = add_observations_multi(
-        m, flat_pt, flat_kf, flat_kp, flat_pt >= 0
-    )
-
     # ---------------- IN: each neighbor -> kf1 ----------------
     bound_i, cand_i, dist_i = jax.vmap(
         lambda k2, act: _fuse_candidate_fields(
@@ -597,6 +602,9 @@ def fuse_neighbors_batch(
         jnp.where(j_bound, jnp.clip(j_cand, 0, m.M - 1), m.M)
     ].min(j_idx.astype(jnp.int32), mode="drop")
     j_bound &= first_j[jnp.clip(j_cand, 0, m.M - 1)] == j_idx
+    from .map_state import obs_has_free as _ohf
+
+    j_bound &= _ohf(m, j_cand)
     existing1 = m.kf_mp[kf1]
     empty1 = existing1 < 0
     bind1 = j_bound & empty1
