@@ -24,10 +24,11 @@ def main():
     sys.path.insert(0, "tests")
     from synthetic import SyntheticRgbdSequence
 
-    from ydorbslam_tpu.config import CameraConfig, OrbConfig, SlamConfig
+    from ydorbslam_tpu.config import CameraConfig, OrbConfig, SlamConfig, TrackingConfig
     from ydorbslam_tpu.slam.tracking import Tracker
 
     cfg = SlamConfig(
+        tracking=TrackingConfig(min_init_depth_points=100),
         camera=CameraConfig(
             fx=500.0, fy=500.0, cx=320.0, cy=240.0, bf=50.0,
             width=640, height=480,

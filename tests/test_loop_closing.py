@@ -12,7 +12,7 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
-from ydorbslam_tpu.config import CapacityConfig, CameraConfig, LoopConfig, OrbConfig, SlamConfig
+from ydorbslam_tpu.config import CapacityConfig, CameraConfig, LoopConfig, OrbConfig, SlamConfig, TrackingConfig
 from ydorbslam_tpu.ops.extractor import FrameFeatures
 from ydorbslam_tpu.slam.system import SlamSystem, Sensor
 
@@ -21,6 +21,7 @@ N_KP = 256
 
 def make_cfg():
     return SlamConfig(
+        tracking=TrackingConfig(min_init_depth_points=100),
         camera=CameraConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0, bf=50.0,
                             width=640, height=480),
         orb=OrbConfig(n_features=N_KP),

@@ -1,0 +1,71 @@
+"""Pipelined tracking survives motion-model breakdown via the on-device
+appearance fallback (the trackReferenceKeyFrame chain of
+/root/reference/src/tracking.cpp:375-406, VERDICT r1 item 3).
+
+Scenario: a sudden lateral camera jump mid-sequence.  The constant-
+velocity prediction projects last-frame landmarks ~40 px away from
+their true positions — outside even the widened 14 px motion window —
+so motion matching fails for the jump frame AND the frame after it
+(the adopted jump velocity overshoots once more).  The dense appearance
+fallback + pose LM from the last pose must recover both frames without
+ever entering LOST.
+"""
+import numpy as np
+
+from synthetic import SyntheticRgbdSequence
+from test_slam_system import small_cfg
+
+from ydorbslam_tpu.slam.system import SlamSystem, Sensor
+from ydorbslam_tpu.slam.tracking import TrackingState
+
+
+def test_pipelined_fallback_survives_pose_jump(rng):
+    seq = SyntheticRgbdSequence(rng, n_frames=16, n_landmarks=700)
+    # Lateral jump of 0.2 m (≈20-50 px at the scene's 2-8 m depths) from
+    # frame 8 onward: frame 8 breaks the velocity model, frame 9 breaks
+    # it again in the opposite direction (overshooting jump velocity).
+    # Large enough that the 14 px widened motion window fails; small
+    # enough that the pose LM from the last pose still converges — the
+    # same envelope the reference's trackReferenceKeyFrame covers
+    # (beyond it, both systems go LOST and relocalize).
+    jump = np.array([0.2, 0.0, 0.0])
+    for i in range(8, len(seq.poses)):
+        T = seq.poses[i].copy()
+        R = T[:3, :3]
+        c_w = -R.T @ T[:3, 3] + jump
+        T[:3, 3] = -R @ c_w
+        seq.poses[i] = T
+
+    sys = SlamSystem(small_cfg(), Sensor.RGBD, enable_loop_closing=False)
+    sys.enable_pipelined(lag=3)
+    for i in range(len(seq.poses)):
+        t, g, d = seq.frame(i)
+        sys.track_rgbd_pipelined(t, g, d)
+    sys.flush_pipeline()
+
+    assert sys.tracker.state == TrackingState.OK
+    assert not any(r.lost for r in sys.records), [
+        (i, r.lost) for i, r in enumerate(sys.records)
+    ]
+    # The recovered trajectory must actually follow the jump: the
+    # estimated camera center must displace along +x by most of the
+    # injected 0.2 m between the pre-jump and post-jump frames.  (The
+    # absolute pose after an instantaneous teleport re-anchors with some
+    # bias — the reference drifts here too — so the jump displacement,
+    # not the absolute error, is the fallback's success signal.)
+    m = sys.map
+    kf_pose = np.asarray(m.kf_pose)
+
+    def center(rec):
+        T_cw = rec.T_c_ref @ kf_pose[rec.ref_kf]
+        return -T_cw[:3, :3].T @ T_cw[:3, 3]
+
+    c_before = center(sys.records[7])
+    c_after = center(sys.records[10])
+    dx = (c_after - c_before)[0]
+    assert dx > 0.15, (dx, c_before, c_after)
+    # and the absolute error stays bounded (no runaway divergence)
+    c_est = center(sys.records[-1])
+    T_gt = seq.poses[len(sys.records) - 1]
+    c_gt = -T_gt[:3, :3].T @ T_gt[:3, 3]
+    assert np.linalg.norm(c_est - c_gt) < 0.35, (c_est, c_gt)

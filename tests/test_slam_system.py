@@ -29,7 +29,7 @@ def small_cfg():
         # frames; relax the close-point KF trigger so mapping exercises.
         tracking=TrackingConfig(
             kf_close_tracked_max=10_000, kf_close_untracked_min=3,
-            min_matches_local_map=20,
+            min_matches_local_map=20, min_init_depth_points=100,
         ),
         capacity=CapacityConfig(
             max_keypoints=512,

@@ -10,13 +10,14 @@ import numpy as np
 
 from synthetic import SyntheticRgbdSequence
 
-from ydorbslam_tpu.config import CameraConfig, OrbConfig, SlamConfig
+from ydorbslam_tpu.config import CameraConfig, OrbConfig, SlamConfig, TrackingConfig
 from ydorbslam_tpu.io import ate_rmse
 from ydorbslam_tpu.slam.tracking import Tracker, TrackingState
 
 
 def make_cfg():
     return SlamConfig(
+        tracking=TrackingConfig(min_init_depth_points=100),
         camera=CameraConfig(
             fx=500.0, fy=500.0, cx=320.0, cy=240.0,
             k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0,

@@ -79,11 +79,12 @@ class MatcherConfig:
     th_low: int = 50
     histo_bins: int = 30
     ratio_ref_kf: float = 0.7
-    ratio_motion: float = 0.9
     ratio_reloc: float = 0.75
     ratio_local_map: float = 0.8
     ratio_triangulation: float = 0.6
-    ratio_fuse: float = 0.8
+    # (The reference also constructs matchers with nn-ratio 0.9 for the
+    # motion-model search and 0.8 for fusion, but those two searches
+    # never apply the ratio — see PARITY.md; no knob is kept for them.)
 
 
 @dataclass(frozen=True)
@@ -94,8 +95,10 @@ class TrackingConfig:
     min_matches_motion: int = 10
     min_matches_local_map: int = 30
     min_matches_after_reloc: int = 50
+    # Stereo/depth map initialization requires > 500 keypoints
+    # (tracking.cpp:337).
+    min_init_depth_points: int = 500
     local_window_max_kf: int = 80
-    local_neighbor_min_weight: int = 10
     kf_ref_ratio: float = 0.75
     kf_close_tracked_max: int = 100
     kf_close_untracked_min: int = 70
@@ -124,12 +127,16 @@ class LoopConfig:
     min_bow_matches: int = 20
     min_sim3_inliers: int = 20
     min_total_matches: int = 40
-    ransac_prob: float = 0.99
     ransac_min_inliers: int = 20
-    ransac_max_iters: int = 300
-    # Retrieval codebook (DBoW3 replacement): number of hashed visual
-    # words for the dense BoW histograms.
-    n_words: int = 4096
+    # Hypothesis budget of the vmapped Sim3 RANSAC — the batched
+    # equivalent of the reference's maxIterations=300
+    # (loopClosing.cpp:132; adaptive early termination from the 0.99
+    # probability is meaningless for a fixed batch, see PARITY.md).
+    ransac_max_iters: int = 256
+    # Retrieval codebook (DBoW3 replacement): multi-bank LSH hashing
+    # into n_banks * 2**bank_bits visual words (slam/retrieval.py).
+    retrieval_banks: int = 4
+    retrieval_bank_bits: int = 12
 
 
 @dataclass(frozen=True)

@@ -44,10 +44,14 @@ from .triangulate import _fuse_into_kf
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("max_out", "consistency_th"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_out", "consistency_th", "n_banks", "bank_bits"),
+)
 def _detect_on_device(
     m: MapState, retrieval, kf_id, prev_masks, prev_counts,
     max_out: int, consistency_th: int,
+    n_banks: int = 4, bank_bits: int = 12,
 ):
     """Fused loop-candidate detection + covisibility-consistency update.
 
@@ -58,7 +62,9 @@ def _detect_on_device(
     keyframe's groups on device; only the per-candidate "consistent
     enough" flags cross to the host.
     """
-    q = bow_histogram(m.kf_desc[kf_id], m.kf_kp_valid[kf_id])
+    q = bow_histogram(
+        m.kf_desc[kf_id], m.kf_kp_valid[kf_id], n_banks, bank_bits
+    )
     connected = (m.covis[kf_id] > 0).at[kf_id].set(True)
     _, scores = score_all(retrieval, q)
     neigh = connected & (jnp.arange(m.K) != kf_id) & retrieval.valid
@@ -126,6 +132,8 @@ class LoopCloserImpl:
         ids, consistent, masks, counts = _detect_on_device(
             m, sys.retrieval, kf_id, prev_masks, prev_counts,
             C, sys.cfg.loop.covisibility_consistency_th,
+            n_banks=sys.cfg.loop.retrieval_banks,
+            bank_bits=sys.cfg.loop.retrieval_bank_bits,
         )
         self.closer.consistent_groups = (masks, counts.astype(jnp.int32))
         ids_np, cons_np = jax.device_get((ids, consistent))
@@ -172,7 +180,8 @@ class LoopCloserImpl:
         self.key, sub = jax.random.split(self.key)
         res = ransac_sim3(
             sub, sys.cam, p1, p2, s2_1, s2_2, ok,
-            n_hypotheses=cfg.capacity.ransac_batch,
+            # batched equivalent of maxIterations=300 (loopClosing.cpp:132)
+            n_hypotheses=cfg.loop.ransac_max_iters,
             min_inliers=cfg.loop.ransac_min_inliers,
         )
         if not bool(res.ok):

@@ -419,7 +419,9 @@ def update_covisibility(m: MapState, kf_id) -> MapState:
 # ----------------------------------------------------------------------
 
 @functools.partial(
-    jax.jit, static_argnames=("scale_factor", "n_levels"), donate_argnums=(0,)
+    jax.jit,
+    static_argnames=("scale_factor", "n_levels", "min_close_seed"),
+    donate_argnums=(0,),
 )
 def insert_keyframe(
     m: MapState,
@@ -434,6 +436,7 @@ def insert_keyframe(
     kf_count,
     scale_factor: float = 1.2,
     n_levels: int = 8,
+    min_close_seed: int = 100,
 ) -> Tuple[MapState, jax.Array]:
     """Insert a frame as keyframe ``kf_id`` (a free slot chosen by host).
 
@@ -466,6 +469,13 @@ def insert_keyframe(
     # 1. frame arrays into the keyframe slot
     matched_ok = (matched_mp >= 0) & feats.valid
     matched_ok &= m.mp_valid[jnp.clip(matched_mp, 0, m.M - 1)]
+    # A keypoint with a RAW valid match must never seed a new point even
+    # if the binding is rejected below by capacity/dedup gates — a
+    # rejected binding would otherwise spawn a duplicate landmark
+    # co-located with the existing one (the reference's matched
+    # keypoints never reach the close-point seeding loop,
+    # src/tracking.cpp:810-820).
+    had_match = matched_ok
     # Binding requires a free obs slot (see obs_has_free).
     matched_ok &= obs_has_free(m, matched_mp)
     # One binding per point: if two keypoints matched the same map point
@@ -478,9 +488,18 @@ def insert_keyframe(
     ].min(idx.astype(jnp.int32), mode="drop")
     matched_ok &= first_kp[mclip] == idx
 
-    # 2. new close points for unmatched keypoints with depth
-    close = feats.valid & (feats.depth > 0) & (feats.depth <= depth_threshold)
-    want_new = close & ~matched_ok
+    # 2. new close points for unmatched keypoints with depth.  The
+    # reference sorts candidates by depth and seeds at least
+    # ``min_close_seed`` points even beyond ThDepth when too few are
+    # close (tracking.cpp:804-837): the nearest min_close_seed
+    # valid-depth unmatched keypoints always qualify.
+    has_depth = feats.valid & (feats.depth > 0) & ~had_match
+    close = has_depth & (feats.depth <= depth_threshold)
+    depth_rank = jnp.argsort(
+        jnp.argsort(jnp.where(has_depth, feats.depth, jnp.inf))
+    )
+    near_enough = has_depth & (depth_rank < min_close_seed)
+    want_new = close | near_enough
     ranks = jnp.where(want_new, jnp.cumsum(want_new) - 1, -1)
     new_slots = alloc_slots(m.mp_valid, ranks)  # (N,) mp slot or -1
     created = new_slots >= 0

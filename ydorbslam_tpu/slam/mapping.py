@@ -36,14 +36,22 @@ LBA_FIX = 32
 LBA_PTS = 4096
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def cull_map_points(m: MapState, current_kf_count: jax.Array) -> MapState:
+@functools.partial(
+    jax.jit, static_argnames=("found_ratio", "min_obs"), donate_argnums=(0,)
+)
+def cull_map_points(
+    m: MapState,
+    current_kf_count: jax.Array,
+    found_ratio: float = 0.25,
+    min_obs: int = 3,
+) -> MapState:
     """Recent-map-point culling (localMapping.cpp:90-108).
 
-    found/visible ratio < 0.25 -> cull;
-    point created >= 2 KFs ago with <= 3 observations -> cull.
-    (Points older than 3 KFs are permanent in the reference; encoded
-    here by only applying the obs test inside the 2..3-KF window.)
+    found/visible ratio < ``found_ratio`` (0.25) -> cull;
+    point created >= 2 KFs ago with <= ``min_obs`` (3) observations ->
+    cull.  (Points older than 3 KFs are permanent in the reference;
+    encoded here by only applying the obs test inside the 2..3-KF
+    window.)
     """
     ratio = m.mp_found.astype(jnp.float32) / jnp.maximum(m.mp_visible, 1)
     n_obs = recount_obs(m)
@@ -52,8 +60,8 @@ def cull_map_points(m: MapState, current_kf_count: jax.Array) -> MapState:
     # but survivors leave the recent list at age 3 so the test fires
     # exactly once); points passing it are permanent.
     bad = m.mp_valid & (
-        (ratio < 0.25)
-        | ((age == 2) & (n_obs <= 3))
+        (ratio < found_ratio)
+        | ((age == 2) & (n_obs <= min_obs))
         | (n_obs == 0)
     )
     # Compact the dead set to a fixed budget and clear their bindings
@@ -245,21 +253,6 @@ def apply_local_ba(
     return m._replace(mp_obs_kf=mp_obs_kf, mp_obs_kp=mp_obs_kp, kf_mp=kf_mp)
 
 
-def local_bundle_adjust(
-    m: MapState, kf_id: int, cam: CameraIntrinsics, inv_sigma2_tab: jax.Array,
-    iters1: int = 5, iters2: int = 10,
-    win_cap: int = LBA_WIN, fix_cap: int = LBA_FIX, pts_cap: int = LBA_PTS,
-    obs_cap: int = 0,
-) -> MapState:
-    """Full local BA pass around a new keyframe (host orchestration)."""
-    win, fixed, pts = select_local_window(m, kf_id, win_cap, fix_cap, pts_cap)
-    prob, obs_sel = build_local_ba(
-        m, win, fixed, pts, inv_sigma2_tab, obs_cap=obs_cap
-    )
-    T_new, p_new, outlier = bundle_adjust(cam, prob, iters1=iters1, iters2=iters2)
-    return apply_local_ba(m, win, pts, T_new[:win_cap], p_new, outlier, obs_sel)
-
-
 # ----------------------------------------------------------------------
 # Fused per-keyframe mapping program
 # ----------------------------------------------------------------------
@@ -297,6 +290,9 @@ def _prep_core(
     scale_factor: float,
     n_levels: int,
     n_neighbors: int,
+    cull_found_ratio: float = 0.25,
+    cull_min_obs: int = 3,
+    tri_ratio: float = 0.6,
 ):
     """Per-keyframe map maintenance: cull recent points -> on-device
     covisible-neighbor top-k -> BATCHED epipolar triangulation over all
@@ -307,14 +303,17 @@ def _prep_core(
     from .map_state import refresh_points
     from .triangulate import fuse_neighbors_batch, triangulate_neighbors_batch
 
-    m = cull_map_points.__wrapped__(m, kf_count)
+    m = cull_map_points.__wrapped__(
+        m, kf_count, found_ratio=cull_found_ratio, min_obs=cull_min_obs
+    )
 
     w = m.covis[kf_id] * m.kf_valid.astype(jnp.int32)
     nvals, nids = jax.lax.top_k(w, n_neighbors)
     nok = nvals > 0
 
     m = triangulate_neighbors_batch(
-        m, kf_id, nids, nok, kf_count, cam, scale_factor, n_levels
+        m, kf_id, nids, nok, kf_count, cam, scale_factor, n_levels,
+        ratio=tri_ratio,
     )
     m = refresh_points(
         m, jnp.where(m.kf_mp[kf_id] >= 0, m.kf_mp[kf_id], -1),
@@ -342,6 +341,7 @@ def _finish_core(
     fix_cap: int,
     pts_cap: int,
     obs_cap: int,
+    kf_cull_redundancy: float = 0.9,
 ):
     """Local BA + redundant-keyframe culling + packed snapshot
     (localMapping.cpp:29,371-405; optimizer.cpp:138-352).
@@ -367,7 +367,9 @@ def _finish_core(
     )
 
     valid_before = m.kf_valid
-    m = cull_keyframes.__wrapped__(m, kf_id, depth_threshold)
+    m = cull_keyframes.__wrapped__(
+        m, kf_id, depth_threshold, redundancy=kf_cull_redundancy
+    )
 
     # --- packed snapshot ------------------------------------------------
     culled = valid_before & ~m.kf_valid
@@ -394,7 +396,10 @@ def _finish_core(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale_factor", "n_levels", "n_neighbors"),
+    static_argnames=(
+        "scale_factor", "n_levels", "n_neighbors",
+        "cull_found_ratio", "cull_min_obs", "tri_ratio",
+    ),
     donate_argnums=(0,),
 )
 def mapping_prep(
@@ -405,15 +410,22 @@ def mapping_prep(
     scale_factor: float = 1.2,
     n_levels: int = 8,
     n_neighbors: int = 10,
+    cull_found_ratio: float = 0.25,
+    cull_min_obs: int = 3,
+    tri_ratio: float = 0.6,
 ):
     """Jitted per-keyframe half of the mapping pipeline (no BA)."""
-    return _prep_core(m, kf_id, kf_count, cam, scale_factor, n_levels, n_neighbors)
+    return _prep_core(
+        m, kf_id, kf_count, cam, scale_factor, n_levels, n_neighbors,
+        cull_found_ratio, cull_min_obs, tri_ratio,
+    )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "iters1", "iters2", "win_cap", "fix_cap", "pts_cap", "obs_cap",
+        "kf_cull_redundancy",
     ),
     donate_argnums=(0,),
 )
@@ -429,11 +441,13 @@ def mapping_finish(
     fix_cap: int = LBA_FIX,
     pts_cap: int = LBA_PTS,
     obs_cap: int = 0,
+    kf_cull_redundancy: float = 0.9,
 ):
     """Jitted per-batch half: local BA + KF culling + snapshot."""
     return _finish_core(
         m, kf_id, cam, inv_sigma2_tab, depth_threshold,
         iters1, iters2, win_cap, fix_cap, pts_cap, obs_cap,
+        kf_cull_redundancy,
     )
 
 
@@ -442,6 +456,8 @@ def mapping_finish(
     static_argnames=(
         "scale_factor", "n_levels", "iters1", "iters2",
         "win_cap", "fix_cap", "pts_cap", "obs_cap", "n_neighbors",
+        "cull_found_ratio", "cull_min_obs", "tri_ratio",
+        "kf_cull_redundancy",
     ),
     donate_argnums=(0,),
 )
@@ -461,6 +477,10 @@ def mapping_step(
     pts_cap: int = LBA_PTS,
     obs_cap: int = 0,
     n_neighbors: int = 10,
+    cull_found_ratio: float = 0.25,
+    cull_min_obs: int = 3,
+    tri_ratio: float = 0.6,
+    kf_cull_redundancy: float = 0.9,
 ):
     """The WHOLE per-keyframe LocalMapping pipeline as ONE device
     program (localMapping.cpp:8-53 re-expressed): ``_prep_core`` (cull,
@@ -476,24 +496,32 @@ def mapping_step(
 
     Returns (map', snapshot_vec (SNAP_LEN,) f32).
     """
-    m = _prep_core(m, kf_id, kf_count, cam, scale_factor, n_levels, n_neighbors)
+    m = _prep_core(
+        m, kf_id, kf_count, cam, scale_factor, n_levels, n_neighbors,
+        cull_found_ratio, cull_min_obs, tri_ratio,
+    )
     return _finish_core(
         m, kf_id, cam, inv_sigma2_tab, depth_threshold,
         iters1, iters2, win_cap, fix_cap, pts_cap, obs_cap,
+        kf_cull_redundancy,
     )
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
+@functools.partial(
+    jax.jit, static_argnames=("redundancy",), donate_argnums=(0,)
+)
 def cull_keyframes(
-    m: MapState, kf_id, depth_threshold: jax.Array
+    m: MapState, kf_id, depth_threshold: jax.Array,
+    redundancy: float = 0.9,
 ) -> MapState:
     """Redundant-keyframe culling (localMapping.cpp:371-405).
 
-    A covisible keyframe of ``kf_id`` is culled when >= 90% of its close
-    map points are observed by >= 3 other keyframes at the same or finer
-    scale.  Spanning-tree children are re-parented to the culled node's
-    parent (simplified vs the reference's max-covisibility re-parenting).
-    The first keyframe is never culled.
+    A covisible keyframe of ``kf_id`` is culled when >= ``redundancy``
+    (90%) of its close map points are observed by >= 3 other keyframes
+    at the same or finer scale.  Spanning-tree children are re-parented
+    to their max-covisibility older keyframe (keyFrame.cpp:256-327),
+    falling back to the culled node's parent.  The first keyframe is
+    never culled.
     """
     # Candidates: top covisible neighbors of the current keyframe.  The
     # per-point observation gather below is the expensive part, so it
@@ -536,7 +564,7 @@ def cull_keyframes(
     n_close = jnp.sum(close, axis=-1)  # (NC,)
     n_red = jnp.sum(redundant_pt, axis=-1)
     cull_cand = cand_ok & (n_close > 10) & (
-        n_red.astype(jnp.float32) > 0.9 * n_close.astype(jnp.float32)
+        n_red.astype(jnp.float32) > redundancy * n_close.astype(jnp.float32)
     )
     # Never cull a tree root: the trajectory writer must be able to walk
     # from any culled node to a live ancestor.
@@ -574,10 +602,32 @@ def cull_keyframes(
         jnp.where(hit, -1, m.mp_obs_kp[ids.reshape(-1)]), mode="drop"
     )
     kf_mp = jnp.where(cull[:, None], -1, m.kf_mp)
-    # Re-parent children of culled nodes.
+    # Re-parent children of culled nodes to their MAX-COVISIBILITY live
+    # keyframe (KeyFrame::setBadFlag, keyFrame.cpp:256-327).  The
+    # reference grows a candidate set from the culled node's parent;
+    # here candidates are all surviving keyframes STRICTLY OLDER (by
+    # frame id) than the child — spanning-tree edges always point to
+    # older keyframes by construction, so acyclicity is preserved
+    # without the reference's incremental set.  Fallback when no
+    # covisible older keyframe exists: the culled node's own parent.
     parent_culled = cull[jnp.clip(m.parent, 0, m.K - 1)] & (m.parent >= 0)
+    older = (
+        kf_valid[None, :]
+        & (m.kf_frame_id[None, :] < m.kf_frame_id[:, None])
+    )
+    w_child = jnp.where(older, m.covis, -1)  # (K,K)
+    best_w = jnp.max(w_child, axis=1)
+    best_cand = jnp.argmax(w_child, axis=1).astype(m.parent.dtype)
+    grand = m.parent[jnp.clip(m.parent, 0, m.K - 1)]
+    # Only LIVE children re-parent: an already-culled child's frozen
+    # T_c2p is relative to its recorded parent, so its pointer must not
+    # move — the chain walk composes frozen transforms link by link
+    # (the culled-now parent keeps its own frozen T_c2p + parent entry,
+    # so the chain through it stays resolvable).
     new_parent = jnp.where(
-        parent_culled, m.parent[jnp.clip(m.parent, 0, m.K - 1)], m.parent
+        parent_culled & kf_valid,
+        jnp.where(best_w > 0, best_cand, grand),
+        m.parent,
     )
     covis = jnp.where(cull[:, None] | cull[None, :], 0, m.covis)
     return m._replace(

@@ -185,7 +185,11 @@ def match_motion_model(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_levels", "scale_factor", "th_narrow", "th_wide")
+    jax.jit,
+    static_argnames=(
+        "n_levels", "scale_factor", "th_narrow", "th_wide", "max_dist",
+        "histo_bins",
+    ),
 )
 def match_motion_model_two(
     cam: CameraIntrinsics,
@@ -199,6 +203,8 @@ def match_motion_model_two(
     th_wide: float = 14.0,
     n_levels: int = 8,
     scale_factor: float = 1.2,
+    max_dist: int = TH_HIGH,
+    histo_bins: int = 30,
 ) -> Tuple[jax.Array, jax.Array]:
     """Both window widths of the motion-model search from ONE Hamming
     matrix.
@@ -240,13 +246,15 @@ def match_motion_model_two(
     d = masked_distance_matrix(
         last.desc, curr.desc, proj.valid, curr.valid, oct_ok & win_wide
     )
-    d = jnp.where(d <= TH_HIGH, d, INVALID_DIST)
+    d = jnp.where(d <= max_dist, d, INVALID_DIST)
 
     def finish(dm):
         assign, _ = resolve_unique(dm)
         matched = assign >= 0
         ang_src = last.angle[jnp.clip(assign, 0, last.angle.shape[0] - 1)]
-        keep = rotation_histogram_mask(curr.angle, ang_src, matched)
+        keep = rotation_histogram_mask(
+            curr.angle, ang_src, matched, n_bins=histo_bins
+        )
         return jnp.where(keep, assign, -1)
 
     assign_wide = finish(d)
@@ -264,7 +272,10 @@ def predict_scale_level(
     return jnp.clip(lvl, 0, n_levels - 1)
 
 
-@functools.partial(jax.jit, static_argnames=("n_levels", "scale_factor", "th"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_levels", "scale_factor", "th", "ratio", "max_dist"),
+)
 def match_local_points(
     cam: CameraIntrinsics,
     curr: FrameFeatures,
@@ -278,6 +289,8 @@ def match_local_points(
     th: float = 1.0,
     n_levels: int = 8,
     scale_factor: float = 1.2,
+    ratio: float = 0.8,
+    max_dist: int = TH_HIGH,
 ) -> Tuple[jax.Array, jax.Array]:
     """Local-map-point -> frame search (track-local-map).
 
@@ -307,7 +320,7 @@ def match_local_points(
     proj = proj._replace(valid=frustum_ok)
     return search_by_projection(
         curr, mp_desc, proj, radius, pred - 1, pred,
-        max_dist=TH_HIGH, ratio=0.8,
+        max_dist=max_dist, ratio=ratio,
     )
 
 
@@ -336,6 +349,11 @@ def match_dense(
     d = masked_distance_matrix(desc_a, desc_b, valid_a, valid_b)
     vals, _ = jax.lax.top_k(-d, 2)
     b1, b2 = -vals[:, 0], -vals[:, 1]
+    # A row with a single candidate has second-best = INVALID_DIST, which
+    # would make the ratio test vacuous; clamp to 256 — the reference's
+    # bestDist2 initialization (orbMatcher.cpp:318) — so a lone candidate
+    # faces the same gate it would there.
+    b2 = jnp.minimum(b2, 256)
     row_ok = (b1 <= max_dist) & (
         b1.astype(jnp.float32) < ratio * b2.astype(jnp.float32)
     )

@@ -37,7 +37,7 @@ from ..geometry.se3 import inv_T
 from ..ops.extractor import FrameFeatures, extract_orb
 from ..ops.stereo import fill_depth_from_rgbd
 from ..optim.pose import PoseObservations, optimize_pose
-from .matchers import match_local_points, match_motion_model_two
+from .matchers import match_dense, match_local_points, match_motion_model_two
 
 MODE_INIT = 0
 MODE_OK = 1
@@ -71,6 +71,7 @@ class TrackState(NamedTuple):
     ring_T: jax.Array  # (RING,4,4)
     ring_info: jax.Array  # (RING, INFO_DIM) packed per-frame outcomes
     frame_idx: jax.Array  # scalar i32
+    since_reloc: jax.Array  # scalar i32: frames since last relocalization
 
 
 INFO_DIM = 21  # [mode, ok, n_inliers, need_kf, slot, T_cw(16)]
@@ -115,6 +116,7 @@ def empty_track_state(n: int) -> TrackState:
         ring_T=jnp.stack([jnp.eye(4)] * RING),
         ring_info=jnp.zeros((RING, INFO_DIM)),
         frame_idx=jnp.int32(0),
+        since_reloc=jnp.int32(1 << 20),
     )
 
 
@@ -122,7 +124,8 @@ def empty_track_state(n: int) -> TrackState:
     jax.jit,
     static_argnames=(
         "n_features", "capacity", "n_levels", "scale_factor",
-        "th_high", "th_low", "min_motion", "min_local",
+        "th_high", "th_low", "min_motion", "min_local", "min_init",
+        "min_after_reloc", "fps",
         "close_tracked_max", "close_untracked_min",
     ),
     donate_argnums=(0,),
@@ -143,6 +146,9 @@ def rgbd_frame_step(
     th_low: int = 7,
     min_motion: int = 10,
     min_local: int = 30,
+    min_init: int = 500,
+    min_after_reloc: int = 50,
+    fps: int = 30,
     close_tracked_max: int = 100,
     close_untracked_min: int = 70,
 ):
@@ -156,7 +162,8 @@ def rgbd_frame_step(
     feats = fill_depth_from_rgbd(feats, depth, cam)
     return _track_core(
         state, feats, trkset, cam, inv_sigma2_tab, depth_threshold,
-        n_levels, scale_factor, min_motion, min_local,
+        n_levels, scale_factor, min_motion, min_local, min_init,
+        min_after_reloc, fps,
         close_tracked_max, close_untracked_min,
     )
 
@@ -165,7 +172,8 @@ def rgbd_frame_step(
     jax.jit,
     static_argnames=(
         "n_features", "capacity", "n_levels", "scale_factor",
-        "th_high", "th_low", "min_motion", "min_local",
+        "th_high", "th_low", "min_motion", "min_local", "min_init",
+        "min_after_reloc", "fps",
         "close_tracked_max", "close_untracked_min",
     ),
     donate_argnums=(0,),
@@ -186,6 +194,9 @@ def stereo_frame_step(
     th_low: int = 7,
     min_motion: int = 10,
     min_local: int = 30,
+    min_init: int = 500,
+    min_after_reloc: int = 50,
+    fps: int = 30,
     close_tracked_max: int = 100,
     close_untracked_min: int = 70,
 ):
@@ -209,7 +220,8 @@ def stereo_frame_step(
     feats = stereo_match(fl, fr, pl_, pr_, cam, n_levels, scale_factor)
     return _track_core(
         state, feats, trkset, cam, inv_sigma2_tab, depth_threshold,
-        n_levels, scale_factor, min_motion, min_local,
+        n_levels, scale_factor, min_motion, min_local, min_init,
+        min_after_reloc, fps,
         close_tracked_max, close_untracked_min,
     )
 
@@ -225,6 +237,9 @@ def _track_core(
     scale_factor: float,
     min_motion: int,
     min_local: int,
+    min_init: int,
+    min_after_reloc: int,
+    fps: int,
     close_tracked_max: int,
     close_untracked_min: int,
 ):
@@ -232,7 +247,8 @@ def _track_core(
     n_depth = jnp.sum(feats.valid & (feats.depth > 0))
 
     # ---------- branch: initialization ----------
-    can_init = (state.mode == MODE_INIT) & (n_depth >= 100)
+    # > 500 depth keypoints required, tracking.cpp:337
+    can_init = (state.mode == MODE_INIT) & (n_depth >= min_init)
 
     # ---------- branch: motion-model tracking ----------
     T_pred = state.velocity @ state.T_cw
@@ -243,19 +259,42 @@ def _track_core(
     )
     use_wide = jnp.sum(assign7 >= 0) < 20
     assign = jnp.where(use_wide, assign14, assign7)
-    src = jnp.clip(assign, 0, n - 1)
+    # ---------- fallback: reference-frame appearance matching ----------
+    # The reference falls back from motion-model failure (< 20 window
+    # matches even widened, tracking.cpp:456-466) to a BoW match against
+    # the reference keyframe + pose LM from the unpredicted pose
+    # (trackReferenceKeyFrame, tracking.cpp:375-406).  Device analog: a
+    # dense appearance match against the LAST tracked frame's landmark
+    # set.  The failure decision is made on MATCH COUNTS (the reference's
+    # own pre-LM gate), so one shared pose LM serves both branches — its
+    # observations and initial pose are selected per branch.  (A
+    # lax.cond-deferred second LM deadlocks the remote TPU runtime, and
+    # the post-LM <10-inlier fallback path it would add is rare enough
+    # to leave to relocalization, as documented here.)
+    motion_viable = jnp.sum(assign >= 0) >= 20
+    fb_assign, _ = match_dense(
+        state.last.desc, state.last.valid & state.last_lms_valid,
+        state.last.angle,
+        feats.desc, feats.valid, feats.angle,
+        max_dist=50, ratio=0.7,  # TH_LOW + refKF nn-ratio (tracking.cpp:380)
+    )
+    fb_viable = (~motion_viable) & (jnp.sum(fb_assign >= 0) >= 15)
+    use_assign = jnp.where(motion_viable, assign, fb_assign)
+    T_init = jnp.where(motion_viable, T_pred, state.T_cw)
+    src = jnp.clip(use_assign, 0, n - 1)
     po = PoseObservations(
         p_w=state.last_lms[src],
         obs_uvr=jnp.concatenate([feats.uv, feats.right_u[:, None]], -1),
         inv_sigma2=inv_sigma2_tab[feats.octave],
         has_stereo=feats.right_u >= 0,
-        valid=(assign >= 0) & feats.valid & state.last_lms_valid[src],
+        valid=(use_assign >= 0) & feats.valid & state.last_lms_valid[src]
+        & (motion_viable | fb_viable),
     )
-    T_mot, _, n_mot = optimize_pose(cam, T_pred, po)
-    motion_ok = n_mot >= min_motion
+    T_frame, _, n_frame = optimize_pose(cam, T_init, po)
+    frame_ok = (motion_viable | fb_viable) & (n_frame >= min_motion)
 
     # ---------- local-map tracking ----------
-    T_start = jnp.where(motion_ok, T_mot, T_pred)
+    T_start = jnp.where(frame_ok, T_frame, T_pred)
     lassign, _ = match_local_points(
         cam, feats, T_start, trkset.pos, trkset.desc, trkset.normal,
         trkset.dmax, trkset.dmin, trkset.valid,
@@ -277,11 +316,16 @@ def _track_core(
     # LOST (the synchronous reference never hits this because its hook
     # is in-line).
     trk_populated = jnp.sum(trkset.valid) >= min_local
-    local_ok = jnp.where(trk_populated, n_loc >= min_local, motion_ok)
+    # Stricter gate within 1 s (= fps frames) of a relocalization
+    # (tracking.cpp:630-636: 50 instead of 30 local-map inliers).
+    min_local_eff = jnp.where(
+        state.since_reloc < jnp.int32(fps), min_after_reloc, min_local
+    )
+    local_ok = jnp.where(trk_populated, n_loc >= min_local_eff, frame_ok)
     T_loc = jnp.where(trk_populated, T_loc, T_start)
-    n_loc = jnp.where(trk_populated, n_loc, n_mot)
+    n_loc = jnp.where(trk_populated, n_loc, n_frame)
 
-    track_ok = motion_ok & local_ok
+    track_ok = frame_ok & local_ok
     # mpid per keypoint (map-point id) for inlier matches
     mpid = jnp.where(
         trk_populated & linlier & (lassign >= 0), trkset.pts[lsrc], -1
@@ -364,6 +408,7 @@ def _track_core(
         ring_T=ring_T,
         ring_info=state.ring_info.at[slot].set(info_row),
         frame_idx=state.frame_idx + 1,
+        since_reloc=state.since_reloc + 1,
     )
     return new_state
 

@@ -34,63 +34,75 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-N_BANKS = 4
-BANK_BITS = 12
+N_BANKS = 4  # default bank geometry (config: loop.retrieval_banks)
+BANK_BITS = 12  # config: loop.retrieval_bank_bits
 N_WORDS = N_BANKS * (1 << BANK_BITS)  # 16384
 
 
 @functools.lru_cache()
-def _hash_bit_positions() -> np.ndarray:
-    """(N_BANKS, BANK_BITS) fixed random bit indices into the 256 bits."""
+def _hash_bit_positions(n_banks: int = N_BANKS, bank_bits: int = BANK_BITS) -> np.ndarray:
+    """(n_banks, bank_bits) fixed random bit indices into the 256 bits."""
     rs = np.random.RandomState(0x10C4)
     return np.stack(
-        [rs.choice(256, BANK_BITS, replace=False) for _ in range(N_BANKS)]
+        [rs.choice(256, bank_bits, replace=False) for _ in range(n_banks)]
     ).astype(np.int32)
 
 
-@jax.jit
-def descriptor_words(desc: jax.Array) -> jax.Array:
-    """(N, 8) uint32 packed descriptors -> (N, N_BANKS) int32 word ids."""
-    pos = jnp.asarray(_hash_bit_positions())  # (H,B)
+@functools.partial(jax.jit, static_argnames=("n_banks", "bank_bits"))
+def descriptor_words(
+    desc: jax.Array, n_banks: int = N_BANKS, bank_bits: int = BANK_BITS
+) -> jax.Array:
+    """(N, 8) uint32 packed descriptors -> (N, n_banks) int32 word ids."""
+    pos = jnp.asarray(_hash_bit_positions(n_banks, bank_bits))  # (H,B)
     lane = pos // 32
     bit = pos % 32
     bits = (desc[:, lane] >> bit.astype(jnp.uint32)) & 1  # (N,H,B)
-    weights = (1 << jnp.arange(BANK_BITS, dtype=jnp.uint32))[None, None, :]
+    weights = (1 << jnp.arange(bank_bits, dtype=jnp.uint32))[None, None, :]
     word = jnp.sum(bits * weights, axis=-1).astype(jnp.int32)  # (N,H)
-    offset = (jnp.arange(N_BANKS, dtype=jnp.int32) << BANK_BITS)[None, :]
+    offset = (jnp.arange(n_banks, dtype=jnp.int32) << bank_bits)[None, :]
     return word + offset
 
 
-@jax.jit
-def bow_histogram(desc: jax.Array, valid: jax.Array) -> jax.Array:
-    """(N,8)+(N,) -> (N_WORDS,) L1-normalized tf histogram."""
-    words = descriptor_words(desc)  # (N,H)
-    w = jnp.where(valid[:, None], words, N_WORDS)  # invalid -> overflow bin
-    hist = jnp.zeros((N_WORDS + 1,)).at[w.reshape(-1)].add(1.0)[:N_WORDS]
+@functools.partial(jax.jit, static_argnames=("n_banks", "bank_bits"))
+def bow_histogram(
+    desc: jax.Array, valid: jax.Array,
+    n_banks: int = N_BANKS, bank_bits: int = BANK_BITS,
+) -> jax.Array:
+    """(N,8)+(N,) -> (n_words,) L1-normalized tf histogram."""
+    n_words = n_banks * (1 << bank_bits)
+    words = descriptor_words(desc, n_banks, bank_bits)  # (N,H)
+    w = jnp.where(valid[:, None], words, n_words)  # invalid -> overflow bin
+    hist = jnp.zeros((n_words + 1,)).at[w.reshape(-1)].add(1.0)[:n_words]
     return hist / jnp.maximum(hist.sum(), 1e-6)
 
 
 class RetrievalIndex(NamedTuple):
-    """Per-keyframe BoW state, device-resident (K, N_WORDS)."""
+    """Per-keyframe BoW state, device-resident (K, n_words)."""
 
-    hist: jax.Array  # (K, N_WORDS) f32 normalized tf
-    presence: jax.Array  # (K, N_WORDS) f32 0/1
+    hist: jax.Array  # (K, n_words) f32 normalized tf
+    presence: jax.Array  # (K, n_words) f32 0/1
     valid: jax.Array  # (K,) bool
 
 
-def empty_index(K: int) -> RetrievalIndex:
+def empty_index(
+    K: int, n_banks: int = N_BANKS, bank_bits: int = BANK_BITS
+) -> RetrievalIndex:
+    n_words = n_banks * (1 << bank_bits)
     return RetrievalIndex(
-        hist=jnp.zeros((K, N_WORDS)),
-        presence=jnp.zeros((K, N_WORDS)),
+        hist=jnp.zeros((K, n_words)),
+        presence=jnp.zeros((K, n_words)),
         valid=jnp.zeros((K,), bool),
     )
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
+@functools.partial(
+    jax.jit, static_argnames=("n_banks", "bank_bits"), donate_argnums=(0,)
+)
 def add_keyframe(
-    idx: RetrievalIndex, kf_id, desc: jax.Array, kp_valid: jax.Array
+    idx: RetrievalIndex, kf_id, desc: jax.Array, kp_valid: jax.Array,
+    n_banks: int = N_BANKS, bank_bits: int = BANK_BITS,
 ) -> RetrievalIndex:
-    h = bow_histogram(desc, kp_valid)
+    h = bow_histogram(desc, kp_valid, n_banks, bank_bits)
     return RetrievalIndex(
         hist=idx.hist.at[kf_id].set(h),
         presence=idx.presence.at[kf_id].set((h > 0).astype(jnp.float32)),

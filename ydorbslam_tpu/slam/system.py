@@ -42,15 +42,15 @@ class Sensor(enum.Enum):
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("cap",))
-def _select_tracking_set(m: MapState, ref_kf, cap: int = 8192):
+@functools.partial(jax.jit, static_argnames=("cap", "max_kf"))
+def _select_tracking_set(m: MapState, ref_kf, cap: int = 8192, max_kf: int = 80):
     """Local tracking map: points observed by the reference keyframe's
     covisibility neighborhood, capped (tracking.cpp:496-569 builds the
-    same set via local-keyframe voting; the cap of 80 KFs is the
-    reference's, tracking.cpp:543)."""
+    same set via local-keyframe voting; ``max_kf`` = the reference's cap
+    of 80 KFs, tracking.cpp:543)."""
     w = m.covis[ref_kf] * m.kf_valid.astype(jnp.int32)
     w = w.at[ref_kf].set(1 << 20)
-    vals, kfs = jax.lax.top_k(w, min(80, m.K))
+    vals, kfs = jax.lax.top_k(w, min(max_kf, m.K))
     sel_kf = jnp.where(vals > 0, kfs, -1)
     in_set = jnp.zeros((m.K + 1,), bool).at[
         jnp.where(sel_kf >= 0, sel_kf, m.K)
@@ -145,7 +145,7 @@ class SlamSystem:
             self.tracker.reloc_hook = self._relocalize
         from .retrieval import empty_index
 
-        self.retrieval = empty_index(cap.max_keyframes)
+        self.retrieval = empty_index(cap.max_keyframes, **self._bank_kw)
         if enable_loop_closing and enable_mapping:
             from .loop import LoopCloser
 
@@ -179,6 +179,9 @@ class SlamSystem:
             th_high=o.ini_th_fast, th_low=o.min_th_fast,
             min_motion=cfg.tracking.min_matches_motion,
             min_local=cfg.tracking.min_matches_local_map,
+            min_init=cfg.tracking.min_init_depth_points,
+            min_after_reloc=cfg.tracking.min_matches_after_reloc,
+            fps=max(1, int(cfg.camera.fps)),
             close_tracked_max=cfg.tracking.kf_close_tracked_max,
             close_untracked_min=cfg.tracking.kf_close_untracked_min,
         )
@@ -200,10 +203,12 @@ class SlamSystem:
             m, 0, 0, 0.0, feats, T, mpid, self.cam,
             jnp.float32(self.depth_threshold), jnp.int32(0),
             scale_factor=o.scale_factor, n_levels=o.n_levels,
+            min_close_seed=self.cfg.tracking.min_close_seed_points,
         )
         m = mapping_prep(
             m, jnp.int32(0), jnp.int32(3), self.cam,
             scale_factor=o.scale_factor, n_levels=o.n_levels,
+            **self._prep_kw,
         )
         # Both local-BA capacity buckets (small early-map + full).
         saved = self.n_keyframes
@@ -217,14 +222,18 @@ class SlamSystem:
                 iters2=cfg.optim.local_ba_iters_2,
                 win_cap=win_cap, fix_cap=fix_cap, pts_cap=pts_cap,
                 obs_cap=cap.local_ba_obs,
+                kf_cull_redundancy=self.cfg.mapping.kf_cull_redundancy,
             )
         self.n_keyframes = saved
-        idx = empty_index(cap.max_keyframes)
-        idx = add_keyframe(idx, 0, m.kf_desc[0], m.kf_kp_valid[0])
+        idx = empty_index(cap.max_keyframes, **self._bank_kw)
+        idx = add_keyframe(idx, 0, m.kf_desc[0], m.kf_kp_valid[0], **self._bank_kw)
         idx = remove_keyframes(
             idx, jnp.full((SNAP_CULL_CAP,), -1, jnp.int32)
         )
-        _select_tracking_set(self.map, 0, cap.tracking_points)
+        _select_tracking_set(
+            self.map, 0, cap.tracking_points,
+            self.cfg.tracking.local_window_max_kf,
+        )
         for min_obs in (2, 3):
             _count_ref_tracked(self.map, 0, min_obs)
         jax.block_until_ready(m)
@@ -335,7 +344,7 @@ class SlamSystem:
             self.tracker.reloc_hook = self._relocalize
         from .retrieval import empty_index
 
-        self.retrieval = empty_index(cap.max_keyframes)
+        self.retrieval = empty_index(cap.max_keyframes, **self._bank_kw)
         if self.loop_closer is not None:
             from .loop import LoopCloser
 
@@ -409,7 +418,8 @@ class SlamSystem:
 
         cap = self.cfg.capacity.tracking_points
         pts, pos, desc, normal, dmax, dmin, valid = _select_tracking_set(
-            self.map, self.ref_kf, cap
+            self.map, self.ref_kf, cap,
+            self.cfg.tracking.local_window_max_kf,
         )
         min_obs = 3 if self.n_keyframes > 2 else 2
         ref_tracked = _count_ref_tracked(self.map, self.ref_kf, min_obs)
@@ -440,6 +450,9 @@ class SlamSystem:
             th_high=o.ini_th_fast, th_low=o.min_th_fast,
             min_motion=cfg.tracking.min_matches_motion,
             min_local=cfg.tracking.min_matches_local_map,
+            min_init=cfg.tracking.min_init_depth_points,
+            min_after_reloc=cfg.tracking.min_matches_after_reloc,
+            fps=max(1, int(cfg.camera.fps)),
             close_tracked_max=cfg.tracking.kf_close_tracked_max,
             close_untracked_min=cfg.tracking.kf_close_untracked_min,
         )
@@ -464,6 +477,9 @@ class SlamSystem:
             th_high=o.ini_th_fast, th_low=o.min_th_fast,
             min_motion=cfg.tracking.min_matches_motion,
             min_local=cfg.tracking.min_matches_local_map,
+            min_init=cfg.tracking.min_init_depth_points,
+            min_after_reloc=cfg.tracking.min_matches_after_reloc,
+            fps=max(1, int(cfg.camera.fps)),
             close_tracked_max=cfg.tracking.kf_close_tracked_max,
             close_untracked_min=cfg.tracking.kf_close_untracked_min,
         )
@@ -503,6 +519,23 @@ class SlamSystem:
         if self._batch_inserted:
             self._refresh_trkset()
 
+
+    @property
+    def _bank_kw(self):
+        return dict(
+            n_banks=self.cfg.loop.retrieval_banks,
+            bank_bits=self.cfg.loop.retrieval_bank_bits,
+        )
+
+    @property
+    def _prep_kw(self):
+        mc = self.cfg.mapping
+        return dict(
+            n_neighbors=mc.triangulation_neighbors,
+            cull_found_ratio=mc.cull_found_ratio,
+            cull_min_obs=mc.cull_min_obs,
+            tri_ratio=self.cfg.matcher.ratio_triangulation,
+        )
     def _ba_caps(self):
         """Static local-BA capacity bucket for the current map size.
 
@@ -537,6 +570,7 @@ class SlamSystem:
             iters2=cfg.optim.local_ba_iters_2,
             win_cap=win_cap, fix_cap=fix_cap, pts_cap=pts_cap,
             obs_cap=cfg.capacity.local_ba_obs,
+            kf_cull_redundancy=cfg.mapping.kf_cull_redundancy,
         )
         self._ba_pending = False
         self._stash_snapshot(snap_vec)
@@ -604,6 +638,7 @@ class SlamSystem:
             last=feats,
             last_lms=lms,
             last_lms_valid=lms_valid,
+            since_reloc=jnp.int32(0),
         )
         if self.records:
             self.records[-1] = SystemRecord(
@@ -691,11 +726,13 @@ class SlamSystem:
         T_pred = tracker.new_T
         cap = self.cfg.capacity.tracking_points
         pts, pos, desc, normal, dmax, dmin, valid = _select_tracking_set(
-            self.map, self.ref_kf, cap
+            self.map, self.ref_kf, cap,
+            self.cfg.tracking.local_window_max_kf,
         )
         assign, _ = match_local_points(
             self.cam, feats, T_pred, pos, desc, normal, dmax, dmin, valid,
             th=1.0, n_levels=cfg.orb.n_levels, scale_factor=cfg.orb.scale_factor,
+            ratio=cfg.matcher.ratio_local_map, max_dist=cfg.matcher.th_high,
         )
         po = PoseObservations(
             p_w=pos[jnp.clip(assign, 0, cap - 1)],
@@ -805,7 +842,7 @@ class SlamSystem:
         m = self.map
         if self.n_keyframes == 0:
             return False
-        q = bow_histogram(feats.desc, feats.valid)
+        q = bow_histogram(feats.desc, feats.valid, **self._bank_kw)
         ids, _ = detect_candidates(
             self.retrieval, q, jnp.zeros((m.K,), bool), m.covis,
             jnp.float32(-1.0), max_out=cfg.capacity.reloc_candidates,
@@ -855,6 +892,8 @@ class SlamSystem:
                     m.mp_max_dist[idc], m.mp_min_dist[idc], pvalid,
                     th=3.0, n_levels=cfg.orb.n_levels,
                     scale_factor=cfg.orb.scale_factor,
+                    ratio=cfg.matcher.ratio_local_map,
+                    max_dist=cfg.matcher.th_high,
                 )
                 po2 = PoseObservations(
                     p_w=m.mp_pos[idc][jnp.clip(assign2, 0, m.N - 1)],
@@ -938,6 +977,7 @@ class SlamSystem:
             self.map, slot, self.frame_id, timestamp, feats, T_cw, matched_mp,
             self.cam, jnp.float32(depth_limit), jnp.int32(self.n_keyframes),
             scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels,
+            min_close_seed=cfg.tracking.min_close_seed_points,
         )
         self.n_keyframes += 1
         self.ref_kf = slot
@@ -948,7 +988,7 @@ class SlamSystem:
 
         self.retrieval = _retr_add(
             self.retrieval, slot, self.map.kf_desc[slot],
-            self.map.kf_kp_valid[slot],
+            self.map.kf_kp_valid[slot], **self._bank_kw,
         )
 
         if self.n_keyframes > 2:
@@ -969,6 +1009,7 @@ class SlamSystem:
                     self.cam,
                     scale_factor=cfg.orb.scale_factor,
                     n_levels=cfg.orb.n_levels,
+                    **self._prep_kw,
                 )
                 self._ba_pending = True
                 # Host-side snapshot patch: subsequent records in this
@@ -993,6 +1034,8 @@ class SlamSystem:
                     fix_cap=fix_cap,
                     pts_cap=pts_cap,
                     obs_cap=cfg.capacity.local_ba_obs,
+                    kf_cull_redundancy=cfg.mapping.kf_cull_redundancy,
+                    **self._prep_kw,
                 )
                 self._stash_snapshot(snap_vec)
         else:

@@ -147,10 +147,10 @@ class Tracker:
 
     # -- core ----------------------------------------------------------
     def _initialize(self, timestamp: float, feats: FrameFeatures) -> bool:
-        """Stereo/depth map init (tracking.cpp:333-367): needs >= 500
-        features with depth."""
+        """Stereo/depth map init (tracking.cpp:333-367): needs > 500
+        keypoints with depth (config tracking.min_init_depth_points)."""
         n_depth = int(jnp.sum(feats.valid & (feats.depth > 0)))
-        if n_depth < 100:
+        if n_depth < self.cfg.tracking.min_init_depth_points:
             return False
         self.T_cw = jnp.eye(4)
         self._adopt_frame(feats)

@@ -97,7 +97,7 @@ def _triangulate_pairs(cam, T1, T2, uv1, uv2):
 
 def _tri_candidate_fields(
     m: MapState, kf1, kf2, active, cam: CameraIntrinsics,
-    scale_factor: float, n_levels: int,
+    scale_factor: float, n_levels: int, ratio: float = 0.6,
 ):
     """Pure per-neighbor-pair triangulation candidates — no map writes.
 
@@ -138,9 +138,16 @@ def _tri_candidate_fields(
     d = masked_distance_matrix(
         m.kf_desc[kf1], m.kf_desc[kf2], free1, free2, epi_ok & oct_ok
     )
+    vals2, _ = jax.lax.top_k(-d, 2)
     best2 = jnp.argmin(d, axis=1)
-    bestd = jnp.take_along_axis(d, best2[:, None], axis=1)[:, 0]
-    matched = bestd <= 50  # TH_LOW (orbMatcher.cpp:8)
+    bestd = -vals2[:, 0]
+    # Best/second ratio 0.6 (the matcher constructed at
+    # localMapping.cpp:112); second-best clamps to 256 — the reference's
+    # bestDist2 init — so lone candidates face the same gate.
+    secondd = jnp.minimum(-vals2[:, 1], 256)
+    matched = (bestd <= 50) & (  # TH_LOW (orbMatcher.cpp:8)
+        bestd.astype(jnp.float32) < ratio * secondd.astype(jnp.float32)
+    )
     # Resolve kf2-side collisions: if two kf1 keypoints claim the same
     # kf2 keypoint, keep only the closer pair — otherwise the loser's
     # new point gets an observation of (kf2, kp) that kf_mp never
@@ -244,63 +251,6 @@ def _tri_candidate_fields(
     return good, best2, X
 
 
-def triangulate_neighbor_body(
-    m: MapState, kf1, kf2, active, kf_count, cam: CameraIntrinsics,
-    scale_factor: float, n_levels: int,
-) -> MapState:
-    """Epipolar search + triangulation between keyframes kf1 (new) and
-    kf2 (trace body; ``active=False`` makes the whole call a masked
-    no-op so it can run under ``lax.fori_loop`` over a padded neighbor
-    list)."""
-    good, best2, X = _tri_candidate_fields(
-        m, kf1, kf2, active, cam, scale_factor, n_levels
-    )
-
-    # Allocate + write new points with two observations.
-    ranks = jnp.where(good, jnp.cumsum(good) - 1, -1)
-    slots = alloc_slots(m.mp_valid, ranks)
-    created = slots >= 0
-    slot_w = jnp.where(created, slots, m.M - 1)
-    m = m._replace(
-        mp_pos=m.mp_pos.at[slot_w].set(
-            jnp.where(created[:, None], X, m.mp_pos[slot_w]), mode="drop"
-        ),
-        mp_valid=m.mp_valid.at[slot_w].set(
-            jnp.where(created, True, m.mp_valid[slot_w]), mode="drop"
-        ),
-        mp_first_kf=m.mp_first_kf.at[slot_w].set(
-            jnp.where(created, jnp.int32(0) + kf_count, m.mp_first_kf[slot_w]),
-            mode="drop",
-        ),
-        mp_found=m.mp_found.at[slot_w].set(
-            jnp.where(created, 1, m.mp_found[slot_w]), mode="drop"
-        ),
-        mp_visible=m.mp_visible.at[slot_w].set(
-            jnp.where(created, 1, m.mp_visible[slot_w]), mode="drop"
-        ),
-        mp_obs_kf=m.mp_obs_kf.at[slot_w].set(
-            jnp.where(created[:, None], -1, m.mp_obs_kf[slot_w]), mode="drop"
-        ),
-        mp_obs_kp=m.mp_obs_kp.at[slot_w].set(
-            jnp.where(created[:, None], -1, m.mp_obs_kp[slot_w]), mode="drop"
-        ),
-        kf_mp=m.kf_mp.at[kf1, jnp.arange(m.N)].set(
-            jnp.where(created, slots, m.kf_mp[kf1])
-        ).at[kf2, best2].set(
-            jnp.where(created, slots, m.kf_mp[kf2, best2]), mode="drop"
-        ),
-    )
-    idx = jnp.arange(m.N)
-    m = add_observations(m, jnp.where(created, slots, -1), kf1, idx, created)
-    m = add_observations(
-        m, jnp.where(created, slots, -1), kf2, best2, created
-    )
-    # refresh_points deferred: the caller refreshes the whole keyframe's
-    # point set once after all neighbors (refresh is the dominant cost
-    # of the per-neighbor call).
-    return m
-
-
 def triangulate_neighbors_batch(
     m: MapState,
     kf1,
@@ -310,6 +260,7 @@ def triangulate_neighbors_batch(
     cam: CameraIntrinsics,
     scale_factor: float,
     n_levels: int,
+    ratio: float = 0.6,
 ) -> MapState:
     """Triangulate kf1 against ALL covisible neighbors in one batch.
 
@@ -325,7 +276,7 @@ def triangulate_neighbors_batch(
     kf2c = jnp.clip(nids, 0, m.K - 1)
     good, best2, X = jax.vmap(
         lambda k2, act: _tri_candidate_fields(
-            m, kf1, k2, act, cam, scale_factor, n_levels
+            m, kf1, k2, act, cam, scale_factor, n_levels, ratio=ratio
         )
     )(kf2c, nok)  # (B,N), (B,N), (B,N,3)
 
@@ -377,18 +328,6 @@ def triangulate_neighbors_batch(
 @functools.partial(
     jax.jit, static_argnames=("scale_factor", "n_levels"), donate_argnums=(0,)
 )
-def _triangulate_with_neighbor(
-    m: MapState, kf1, kf2, kf_count, cam: CameraIntrinsics,
-    scale_factor: float, n_levels: int,
-) -> MapState:
-    return triangulate_neighbor_body(
-        m, kf1, kf2, jnp.asarray(True), kf_count, cam, scale_factor, n_levels
-    )
-
-
-@functools.partial(
-    jax.jit, static_argnames=("scale_factor", "n_levels"), donate_argnums=(0,)
-)
 def refresh_kf_points(
     m: MapState, kf_id, cam: CameraIntrinsics, scale_factor: float,
     n_levels: int,
@@ -399,24 +338,6 @@ def refresh_kf_points(
         m, jnp.where(m.kf_mp[kf_id] >= 0, m.kf_mp[kf_id], -1),
         scale_factor, n_levels,
     )
-
-
-def create_new_points(
-    m: MapState, kf_id: int, kf_count: int, cam: CameraIntrinsics,
-    scale_factor: float, n_levels: int,
-) -> MapState:
-    """Triangulate against the top covisible neighbors (host loop)."""
-    import numpy as np
-
-    w = np.asarray(m.covis[kf_id] * m.kf_valid.astype(jnp.int32))
-    order = np.argsort(-w)
-    neighbors = [int(k) for k in order[:N_TRIANG_NEIGHBORS] if w[k] > 0]
-    for k2 in neighbors:
-        m = _triangulate_with_neighbor(
-            m, kf_id, k2, kf_count, cam, scale_factor, n_levels
-        )
-    m = refresh_kf_points(m, kf_id, cam, scale_factor, n_levels)
-    return m
 
 
 def _fuse_candidate_fields(
@@ -586,6 +507,11 @@ def fuse_neighbors_batch(
         kf_mp=m.kf_mp.at[jnp.where(nok, kf2c, m.K)].set(new_rows, mode="drop"),
     )
     # ---------------- IN: each neighbor -> kf1 ----------------
+    # Fresh obs counts: the OUT pass just added/erased observations, and
+    # the IN pass's replace-direction heuristic (c_obs > e_obs) should
+    # see them — matching the reference's sequential loop, which always
+    # reads current counts (localMapping.cpp:253-294).
+    n_obs_tab = jnp.sum(m.mp_obs_kf >= 0, axis=-1)
     bound_i, cand_i, dist_i = jax.vmap(
         lambda k2, act: _fuse_candidate_fields(
             m, k2, kf1, act, cam, scale_factor, n_levels
@@ -639,21 +565,3 @@ def _fuse_into_kf(
     return fuse_into_kf_body(
         m, src_kf, dst_kf, jnp.asarray(True), cam, scale_factor, n_levels
     )
-
-
-def fuse_neighbors(
-    m: MapState, kf_id: int, cam: CameraIntrinsics,
-    scale_factor: float, n_levels: int,
-) -> MapState:
-    """Two-way fusion with top covisible neighbors
-    (LocalMapping::searchInNeighbors, localMapping.cpp:253-294)."""
-    import numpy as np
-
-    w = np.asarray(m.covis[kf_id] * m.kf_valid.astype(jnp.int32))
-    order = np.argsort(-w)
-    neighbors = [int(k) for k in order[:N_TRIANG_NEIGHBORS] if w[k] > 0]
-    for k2 in neighbors:
-        m = _fuse_into_kf(m, kf_id, k2, cam, scale_factor, n_levels)
-        m = _fuse_into_kf(m, k2, kf_id, cam, scale_factor, n_levels)
-    m = refresh_kf_points(m, kf_id, cam, scale_factor, n_levels)
-    return m
