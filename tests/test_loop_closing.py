@@ -107,10 +107,19 @@ def test_loop_detection_and_correction(rng):
     revisit_drifted[:3, 3] -= drift  # camera believed at x+0.3
     # Features are what the camera ACTUALLY sees (true pose), pose is drifted.
     feats_lms = lms_a.copy()
-    desc_noisy = desc_a.copy()
+    # The revisit does NOT see byte-identical descriptors: viewpoint and
+    # lighting change flips BRIEF bits (matching ORB pairs differ by
+    # 20-60/256 bits).  Each revisit frame gets its OWN independent 8%
+    # bit flips — identical copies would also give the two revisit
+    # frames a mutual BoW score of 1.0, inflating the min-covisible-
+    # score gate (loopClosing.cpp:51-59) past every real candidate.
+    # (See docs/RETRIEVAL_RECALL.md for the recall study.)
+    from test_retrieval_recall import flip_bits
+
     slots = []
     for i in range(2):
-        feats = fake_features(rng, feats_lms, desc_noisy, revisit_true)
+        feats = fake_features(rng, feats_lms, flip_bits(rng, desc_a, 0.08),
+                              revisit_true)
         slot = sys._alloc_kf_slot()
         sys._insert_keyframe(0.0, feats, jnp.asarray(revisit_drifted),
                              -jnp.ones((N_KP,), jnp.int32))
