@@ -124,6 +124,7 @@ def test_loop_detection_and_correction(rng):
         sys._insert_keyframe(0.0, feats, jnp.asarray(revisit_drifted),
                              -jnp.ones((N_KP,), jnp.int32))
         slots.append(slot)
+    sys.loop_closer.flush()  # verify the async-dispatched detection
     assert sys.loop_closer.n_loops_closed >= 1, "loop not detected"
     # The revisit keyframe pose must be corrected toward the true pose.
     T_corr = np.asarray(sys.map.kf_pose[slots[-1]])

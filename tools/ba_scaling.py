@@ -1,0 +1,128 @@
+"""Measure sharded-global-BA throughput vs mesh size.
+
+Runs the production point-sharded LM (parallel/ba_sharded.
+sharded_bundle_adjust) on a fixed synthetic BA problem over CPU meshes
+of 1/2/4/8 devices and records LM iterations/s.  CPU devices share one
+socket, so this validates the SPMD partition + collective pattern and
+its overhead — true ICI scaling needs a real multi-chip slice (not
+available here; the driver's dryrun compiles the same path).
+
+Run:  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      JAX_PLATFORMS=cpu python tools/ba_scaling.py
+Writes docs/BA_SCALING.md.
+"""
+import os
+import sys
+import time
+
+if __name__ == "__main__":
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def build_problem(rng, C=64, Pn=8192, O=8):
+    import jax
+    import jax.numpy as jnp
+
+    from ydorbslam_tpu.config import SlamConfig, camera_intrinsics
+    from ydorbslam_tpu.geometry import se3_exp
+    from ydorbslam_tpu.optim.residuals import project_point
+    from ydorbslam_tpu.optim.schur import BAProblem
+
+    cam = camera_intrinsics(SlamConfig())
+    T_cams = jnp.stack([
+        jnp.asarray(se3_exp(jnp.asarray(
+            [0.05 * i, 0.01 * i, 0.02 * i, 0, 0.005 * i, 0])))
+        for i in range(C)
+    ])
+    p_w = jnp.asarray(np.stack([
+        rng.uniform(-4, 4, Pn), rng.uniform(-3, 3, Pn), rng.uniform(3, 9, Pn),
+    ], -1).astype(np.float32))
+    obs_cam = jnp.asarray(np.stack(
+        [rng.choice(C, O, replace=False) for _ in range(Pn)]).astype(np.int32))
+    obs_uvr = jax.vmap(lambda p, cams: jax.vmap(
+        lambda c: project_point(cam, T_cams[c], p)[1])(cams))(p_w, obs_cam)
+    prob = BAProblem(
+        T_cw=T_cams,
+        cam_fixed=jnp.zeros(C, bool).at[0].set(True),
+        cam_valid=jnp.ones(C, bool),
+        p_w=p_w + 0.02 * jnp.asarray(rng.standard_normal((Pn, 3)).astype(np.float32)),
+        pt_valid=jnp.ones(Pn, bool),
+        obs_cam=obs_cam,
+        obs_uvr=obs_uvr,
+        obs_inv_sigma2=jnp.ones((Pn, O)),
+        obs_stereo=jnp.ones((Pn, O), bool),
+        obs_valid=jnp.ones((Pn, O), bool),
+    )
+    return cam, prob
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from ydorbslam_tpu.parallel.ba_sharded import sharded_bundle_adjust
+
+    rng = np.random.default_rng(0)
+    cam, prob = build_problem(rng)
+    iters = 20
+    rows = []
+    for n in (1, 2, 4, 8):
+        devs = jax.devices()[:n]
+        if len(devs) < n:
+            continue
+        mesh = Mesh(np.asarray(devs), axis_names=("pts",))
+        # warm (compile)
+        sharded_bundle_adjust(mesh, cam, prob, iters=5, chunk=5)
+        t0 = time.perf_counter()
+        T, p, _ = sharded_bundle_adjust(mesh, cam, prob, iters=iters, chunk=5)
+        jax.block_until_ready(T)
+        dt = time.perf_counter() - t0
+        rows.append((n, iters / dt))
+        print(f"{n} devices: {iters / dt:.2f} LM iters/s")
+    base = rows[0][1]
+    lines = [
+        "# Sharded global BA scaling (point partition, psum-reduced camera system)",
+        "",
+        "Problem: 64 cameras, 8192 points, 8 obs/point (synthetic, converged",
+        "geometry + noise).  Production code path:",
+        "`parallel/ba_sharded.sharded_bundle_adjust` — the same function",
+        "`slam/loop_impl._global_ba` calls after every accepted loop when more",
+        "than one device is visible.  Host: virtual CPU mesh",
+        "(`--xla_force_host_platform_device_count=8`) — all devices share one",
+        "socket, so this measures the SPMD partition + collective overhead, not",
+        "ICI bandwidth; single-chip TPU numbers live in bench_profile.json",
+        "(mapping_finish) and true multi-chip scaling needs a real slice.",
+        "",
+        "| devices | LM iters/s | vs 1 device |",
+        "|---|---|---|",
+    ]
+    for n, ips in rows:
+        lines.append(f"| {n} | {ips:.2f} | {ips / base:.2f}x |")
+    lines.append("")
+    lines.append(
+        "Communication per iteration: one psum of the (C,42) incidence"
+    )
+    lines.append(
+        "reduction + one psum of the (C,C,6,6) Schur off-diagonal + rhs —"
+    )
+    lines.append(
+        "independent of the point count, which is what makes the map-block"
+    )
+    lines.append("partition scale (SURVEY.md §2c P6).")
+    with open("docs/BA_SCALING.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote docs/BA_SCALING.md")
+
+
+if __name__ == "__main__":
+    main()

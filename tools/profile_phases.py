@@ -184,7 +184,64 @@ def main():
         jax.block_until_ready(system._trkset.pos)
     print(f"refresh_trkset (block): {timeit(trk, n=5):.2f} ms")
 
+    # --- 5b. decompose the tracking step ---
+    from ydorbslam_tpu.ops.extractor import extract_orb
+    from ydorbslam_tpu.ops.stereo import fill_depth_from_rgbd
+    from ydorbslam_tpu.slam.matchers import (
+        match_local_points, match_motion_model_two,
+    )
+    from ydorbslam_tpu.optim.pose import PoseObservations, optimize_pose
+
+    eo = jax.jit(lambda g: extract_orb(
+        g, system.cam, n_features=o.n_features, capacity=cfg.n_keypoints,
+        n_levels=o.n_levels, scale_factor=o.scale_factor,
+        th_high=o.ini_th_fast, th_low=o.min_th_fast, has_distortion=False))
+    feats = eo(gj)
+    jax.block_until_ready(feats.uv)
+
+    def ex():
+        jax.block_until_ready(eo(gj).uv)
+    print(f"  extract_orb: {timeit(ex, n=10):.2f} ms")
+
+    st2 = system._dstate
+    T_pred = st2.velocity @ st2.T_cw
+
+    def mm():
+        a7, a14 = match_motion_model_two(
+            system.cam, feats, st2.last, st2.last_lms, st2.last_lms_valid,
+            T_pred, st2.T_cw, th_narrow=7.0, th_wide=14.0,
+            n_levels=o.n_levels, scale_factor=o.scale_factor)
+        jax.block_until_ready(a7)
+    mm()
+    print(f"  match_motion_two: {timeit(mm, n=10):.2f} ms")
+
+    ts = system._trkset
+
+    def ml():
+        a, _ = match_local_points(
+            system.cam, feats, T_pred, ts.pos, ts.desc, ts.normal,
+            ts.dmax, ts.dmin, ts.valid, th=1.0,
+            n_levels=o.n_levels, scale_factor=o.scale_factor)
+        jax.block_until_ready(a)
+    ml()
+    print(f"  match_local (8192x1024): {timeit(ml, n=10):.2f} ms")
+
+    po = PoseObservations(
+        p_w=st2.last_lms,
+        obs_uvr=jnp.concatenate([feats.uv, feats.right_u[:, None]], -1),
+        inv_sigma2=system.inv_sigma2_tab[feats.octave],
+        has_stereo=feats.right_u >= 0,
+        valid=feats.valid & st2.last_lms_valid,
+    )
+
+    def pl():
+        T, _, n = optimize_pose(system.cam, T_pred, po)
+        jax.block_until_ready(T)
+    pl()
+    print(f"  optimize_pose (4x10): {timeit(pl, n=10):.2f} ms")
+
     # --- 6. end-to-end per-frame (same as bench) ---
+    nkf0 = system.n_keyframes
     times = []
     for t, g, d in frames[10:]:
         t0 = time.perf_counter()
@@ -195,6 +252,8 @@ def main():
     drain = (time.perf_counter() - t0) * 1000
     print("per-frame ms:", " ".join(f"{x:.1f}" for x in times))
     print(f"final flush: {drain:.1f} ms")
+    print(f"keyframes inserted in {len(times)} frames: "
+          f"{system.n_keyframes - nkf0}")
     print(f"fps: {len(times)/ (sum(times)+drain) * 1000:.1f}")
 
 

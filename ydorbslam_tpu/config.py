@@ -169,6 +169,8 @@ class CapacityConfig:
     local_ba_fixed_kf: int = 32  # fixed observer cameras
     local_ba_max_points: int = 4096
     local_ba_obs: int = 16  # obs slots per point inside local BA (0 = all)
+    global_ba_max_points: int = 32768  # global-BA point budget (logged when hit)
+    global_ba_obs: int = 16  # obs slots per point inside global BA
     tracking_points: int = 8192  # local tracking map cap
     reloc_candidates: int = 8
     loop_candidates: int = 8

@@ -99,7 +99,11 @@ def extract_orb(
     th_low: int = 7,
     has_distortion: bool = True,
 ) -> FrameFeatures:
-    """float32 (H, W) image -> FrameFeatures with capacity rows."""
+    """(H, W) image (uint8 or float32) -> FrameFeatures with capacity
+    rows.  uint8 input is converted ON DEVICE — sensors deliver 8-bit
+    gray, and shipping it raw through the host->device link is 4x less
+    transfer than a host-side float32 conversion."""
+    image = image.astype(jnp.float32)
     pyr = build_pyramid(image, n_levels, scale_factor)
     budgets = level_budgets(n_features, n_levels, scale_factor)
     scales = scale_factors(n_levels, scale_factor)

@@ -389,19 +389,37 @@ def _flat_chi2(pr, wu, wv, wr):
     return pr["ru"] ** 2 * wu + pr["rv"] ** 2 * wv + pr["rr"] ** 2 * wr
 
 
-def _flat_cost(cam, T_all, p_w, f: _FlatObs, active_flat, use_huber, stereo_delta2):
-    """Total robustified cost (residual-only pass: no Jacobians)."""
+def _flat_cost(
+    cam, T_all, p_w, f: _FlatObs, active_flat, use_huber, stereo_delta2,
+    axis=None,
+):
+    """Total robustified cost (residual-only pass: no Jacobians).
+
+    ``axis``: mesh axis name when the point dimension is sharded
+    (shard_map) — the scalar cost is psum-reduced so every device sees
+    the same LM accept/reject decision."""
     pr = _flat_project(cam, T_all, p_w, f)
     wu, wv, wr, mask = _flat_weights(f, pr["zr"], active_flat)
     chi2 = _flat_chi2(pr, wu, wv, wr)
     cost = jnp.where(use_huber, huber_cost(chi2, stereo_delta2), chi2)
-    return jnp.sum(cost * mask.astype(jnp.float32))
+    total = jnp.sum(cost * mask.astype(jnp.float32))
+    if axis is not None:
+        total = jax.lax.psum(total, axis)
+    return total
 
 
 def _flat_lm_iteration(
-    cam, T_all, p_w, prob: BAProblem, f: _FlatObs, active_flat, lam, use_huber
+    cam, T_all, p_w, prob: BAProblem, f: _FlatObs, active_flat, lam,
+    use_huber, axis=None,
 ):
-    """One damped LM step in flat layout: returns (T_new, p_new)."""
+    """One damped LM step in flat layout: returns (T_new, p_new).
+
+    With ``axis`` set (inside shard_map, points sharded over the mesh)
+    the camera-system reductions — the incidence matmul, the Schur
+    off-diagonal and the reduced rhs — are psum-combined over ICI; the
+    per-point work (Jacobians, 3x3 marginalization, back-substitution)
+    stays device-local.  Communication per step: O(42*C + 36*C^2)
+    floats, independent of the number of points (SURVEY.md §2c P6)."""
     C, P, O = prob.C, prob.P, prob.obs_cam.shape[1]
     Q = f.cam_idx.shape[0]
     pr = _flat_project(cam, T_all, p_w, f)
@@ -464,6 +482,8 @@ def _flat_lm_iteration(
     cam_cols += [rowsum(Jc_cols[i], rrow) for i in range(6)]
     camM = jnp.stack(cam_cols, -1)  # (Q, 42)
     red = f.E.T @ camM  # (C, 42)
+    if axis is not None:
+        red = jax.lax.psum(red, axis)
     Hcc = red[:, :36].reshape(C, 6, 6)
     bc = red[:, 36:42]
 
@@ -492,7 +512,11 @@ def _flat_lm_iteration(
     Um = U.transpose(1, 2, 0, 3).reshape(C * 6, P * 3)
     Vm = V.transpose(1, 2, 0, 3).reshape(C * 6, P * 3)
     S_off = (Um @ Vm.T).reshape(C, 6, C, 6).transpose(0, 2, 1, 3)
-    bs = bc - jnp.einsum("pcik,pk->ci", U, bp)
+    corr_cam = jnp.einsum("pcik,pk->ci", U, bp)
+    if axis is not None:
+        S_off = jax.lax.psum(S_off, axis)
+        corr_cam = jax.lax.psum(corr_cam, axis)
+    bs = bc - corr_cam
 
     Hcc_d = Hcc + lam * jnp.eye(6) * jnp.maximum(
         jnp.trace(Hcc, axis1=-2, axis2=-1)[:, None, None] / 6.0, 1e-6
@@ -539,8 +563,14 @@ def lm_solve(
     use_huber: bool,
     active: jax.Array,
     lam0: float = 1e-4,
+    axis=None,
+    lam_init=None,
 ):
-    """Fixed-iteration LM with accept/reject damping (flat fast path)."""
+    """Fixed-iteration LM with accept/reject damping (flat fast path).
+
+    ``axis`` shards the point dimension over a mesh axis (call inside
+    shard_map with point-sharded ``prob`` leaves).  ``lam_init`` lets a
+    chunked caller carry the damping state across chunks."""
 
     use_huber = jnp.asarray(use_huber)
     f = _flatten_obs(prob)
@@ -550,10 +580,11 @@ def lm_solve(
     def body(state, _):
         T, p, lam, cost = state
         T_new, p_new = _flat_lm_iteration(
-            cam, T, p, prob, f, active_flat, lam, use_huber
+            cam, T, p, prob, f, active_flat, lam, use_huber, axis=axis
         )
         cost_new = _flat_cost(
-            cam, T_new, p_new, f, active_flat, use_huber, stereo_delta2
+            cam, T_new, p_new, f, active_flat, use_huber, stereo_delta2,
+            axis=axis,
         )
         accept = cost_new < cost
         T = jnp.where(accept, T_new, T)
@@ -563,12 +594,14 @@ def lm_solve(
         return (T, p, lam, cost), cost
 
     cost0 = _flat_cost(
-        cam, prob.T_cw, prob.p_w, f, active_flat, use_huber, stereo_delta2
+        cam, prob.T_cw, prob.p_w, f, active_flat, use_huber, stereo_delta2,
+        axis=axis,
     )
-    (T, p, _, cost), _ = jax.lax.scan(
-        body, (prob.T_cw, prob.p_w, jnp.float32(lam0), cost0), None, length=iters
+    lam0_arr = jnp.float32(lam0) if lam_init is None else lam_init
+    (T, p, lam, cost), _ = jax.lax.scan(
+        body, (prob.T_cw, prob.p_w, lam0_arr, cost0), None, length=iters
     )
-    return T, p, cost
+    return T, p, cost, lam
 
 
 @functools.partial(jax.jit, static_argnames=("iters1", "iters2"))
@@ -601,16 +634,63 @@ def bundle_adjust(
 
     if iters1 > 0:
         # Two-phase local-BA protocol: robust, demote, non-robust.
-        T, p, _ = lm_solve(cam, prob, iters1, True, active0)
+        T, p, _, _ = lm_solve(cam, prob, iters1, True, active0)
         chi2, mask = flat_chi2_mask(T, p, af0)
         inlier = mask & (chi2 <= delta2)
-        T, p, _ = lm_solve(
+        T, p, _, _ = lm_solve(
             cam, prob._replace(T_cw=T, p_w=p), iters2, False, inlier
         )
     else:
         # Single robust phase: the reference global BA keeps Huber and
         # never demotes (optimizer.cpp:7-137).
-        T, p, _ = lm_solve(cam, prob, iters2, True, active0)
+        T, p, _, _ = lm_solve(cam, prob, iters2, True, active0)
     chi2, mask = flat_chi2_mask(T, p, af0)
     outlier = mask & (chi2 > delta2)
     return T, p, outlier
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _lm_chunk(cam, prob: BAProblem, T, p, lam, chunk: int = 5):
+    """``chunk`` robust LM iterations carrying damping state."""
+    T_new, p_new, _, lam_new = lm_solve(
+        cam, prob._replace(T_cw=T, p_w=p), chunk, True, prob.obs_valid,
+        lam_init=lam,
+    )
+    return T_new, p_new, lam_new
+
+
+@jax.jit
+def _classify_outliers(cam, prob: BAProblem, T, p):
+    f = _flatten_obs(prob)
+    pr = _flat_project(cam, T, p, f)
+    wu, wv, wr, mask = _flat_weights(f, pr["zr"], prob.obs_valid.reshape(-1))
+    chi2 = _flat_chi2(pr, wu, wv, wr)
+    P_, O = prob.obs_cam.shape
+    delta2 = jnp.where(prob.obs_stereo, CHI2_STEREO, CHI2_MONO)
+    return mask.reshape(P_, O) & (chi2.reshape(P_, O) > delta2)
+
+
+def chunked_global_ba(
+    cam: CameraIntrinsics,
+    prob: BAProblem,
+    iters: int,
+    chunk: int = 5,
+    should_abort=None,
+):
+    """Single-device global BA dispatched in bounded LM chunks.
+
+    Same protocol as ``bundle_adjust(iters1=0)`` (single robust phase,
+    optimizer.cpp:7-137) but the host regains control every ``chunk``
+    iterations and consults ``should_abort()`` — the reference's
+    interruptible global-BA force-stop (optimizer.cpp:17-19) without a
+    thread.  Returns (T, p, obs_outlier).
+    """
+    T, p = prob.T_cw, prob.p_w
+    lam = jnp.float32(1e-4)
+    done = 0
+    while done < iters:
+        T, p, lam = _lm_chunk(cam, prob, T, p, lam, chunk=chunk)
+        done += chunk
+        if should_abort is not None and done < iters and should_abort():
+            break
+    return T, p, _classify_outliers(cam, prob, T, p)

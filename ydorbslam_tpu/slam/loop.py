@@ -33,6 +33,10 @@ class LoopCloser:
         self.consistent_groups = []  # [(set(kf ids), count)]
         self.n_loops_closed = 0
         self._impl = None
+        # Optional host callback checked between global-BA LM chunks —
+        # the reference's force-stop flag for the transient BA thread
+        # (optimizer.cpp:17-19); None = run to completion.
+        self.should_abort_ba = None
 
     def process(self, kf_id: int) -> bool:
         # Full implementation lands with slam/retrieval.py +
@@ -45,3 +49,9 @@ class LoopCloser:
             except ImportError:
                 return False
         return self._impl.process(kf_id)
+
+    def flush(self) -> bool:
+        """Verify any detection still pending at sequence end."""
+        if self._impl is None:
+            return False
+        return self._impl.flush()

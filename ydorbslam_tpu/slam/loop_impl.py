@@ -94,32 +94,31 @@ class LoopCloserImpl:
 
     # ------------------------------------------------------------------
     def process(self, kf_id: int) -> bool:
+        """Dispatch detection for this keyframe; VERIFY the previous
+        keyframe's detection result (its device arrays are materialized
+        by now, so the fetch is free).
+
+        The reference's LoopClosing runs in a background thread
+        (loopClosing.cpp:10-27) consuming a keyframe queue — it too
+        verifies keyframes slightly after insertion.  Polling one
+        keyframe late keeps the device pipeline free of sync points:
+        a blocking fetch here would stall every queued tracking frame.
+        """
         sys = self.system
         cfg = sys.cfg
-        m = sys.map
-        # (keyframe already indexed by System._insert_keyframe)
         closer = self.closer
-        if sys.n_keyframes - closer.last_loop_kf_count < cfg.loop.min_kfs_between_loops:
-            return False
-        cands = self._detect(kf_id)
-        if not cands:
-            return False
-        for cand in cands:
-            hit = self._compute_sim3(kf_id, cand)
-            if hit is not None:
-                S_12, _ = hit
-                self._correct(kf_id, cand, S_12)
-                closer.last_loop_kf_count = sys.n_keyframes
-                closer.n_loops_closed += 1
-                closer.consistent_groups = []  # re-initialized lazily
-                return True
-        return False
+        closed = self._poll_pending()
+        if sys.n_keyframes - closer.last_loop_kf_count >= cfg.loop.min_kfs_between_loops:
+            self._dispatch_detect(kf_id)
+        return closed
 
-    # ------------------------------------------------------------------
-    def _detect(self, kf_id: int) -> List[int]:
-        """Candidates + covisibility-consistency filter
-        (loopClosing.cpp:34-114).  Device-side gating and consistency;
-        ONE small host fetch of (ids, flags)."""
+    def flush(self) -> bool:
+        """Verify any still-pending detection (sequence end)."""
+        return self._poll_pending()
+
+    def _dispatch_detect(self, kf_id: int) -> None:
+        """Candidate scoring + covisibility-consistency update, one
+        device program, NO host fetch (loopClosing.cpp:34-114)."""
         sys = self.system
         m = sys.map
         C = sys.cfg.capacity.loop_candidates
@@ -136,8 +135,28 @@ class LoopCloserImpl:
             bank_bits=sys.cfg.loop.retrieval_bank_bits,
         )
         self.closer.consistent_groups = (masks, counts.astype(jnp.int32))
+        self._pending = (kf_id, ids, consistent)
+
+    def _poll_pending(self) -> bool:
+        pending = getattr(self, "_pending", None)
+        if pending is None:
+            return False
+        self._pending = None
+        kf_id, ids, consistent = pending
+        sys = self.system
+        closer = self.closer
         ids_np, cons_np = jax.device_get((ids, consistent))
-        return [int(i) for i, c in zip(ids_np, cons_np) if i >= 0 and c]
+        cands = [int(i) for i, c in zip(ids_np, cons_np) if i >= 0 and c]
+        for cand in cands:
+            hit = self._compute_sim3(kf_id, cand)
+            if hit is not None:
+                S_12, _ = hit
+                self._correct(kf_id, cand, S_12)
+                closer.last_loop_kf_count = sys.n_keyframes
+                closer.n_loops_closed += 1
+                closer.consistent_groups = []  # re-initialized lazily
+                return True
+        return False
 
     # ------------------------------------------------------------------
     def _compute_sim3(self, kf1: int, kf2: int):
@@ -373,7 +392,18 @@ class LoopCloserImpl:
         return m._replace(kf_pose=kf_pose, mp_pos=mp_pos)
 
     def _global_ba(self, m: MapState) -> MapState:
-        """Full-map BA (globalBundleAdjust, optimizer.cpp:353-357)."""
+        """Full-map BA (globalBundleAdjust, optimizer.cpp:353-357).
+
+        Point budget: ``capacity.global_ba_max_points``, selected by
+        OBSERVATION COUNT when the map exceeds it (the best-constrained
+        landmarks carry the solve; overflow is logged, never silent).
+        Observations per point are compacted to ``global_ba_obs`` slots.
+        On a multi-device mesh the solve runs map-block-partitioned
+        (points sharded, psum-reduced camera system — SURVEY.md §2c P6);
+        either path executes in bounded LM chunks with an abort check
+        between chunks (the reference's interruptible global-BA thread,
+        loopClosing.cpp:334 + optimizer.cpp:17-19 — ``abort_global_ba``
+        on the LoopCloser requests an early stop)."""
         sys = self.system
         cfg = sys.cfg
         from .mapping import apply_local_ba, build_local_ba
@@ -381,13 +411,41 @@ class LoopCloserImpl:
         K = m.K
         win = jnp.where(m.kf_valid, jnp.arange(K, dtype=jnp.int32), -1)
         fixed = -jnp.ones((1,), jnp.int32)
-        pts_cap = cfg.capacity.local_ba_max_points * 4
-        member = m.mp_valid
-        order = jnp.where(member, jnp.arange(m.M), m.M)
-        pts = jnp.sort(order)[:pts_cap].astype(jnp.int32)
-        pts = jnp.where(pts < m.M, pts, -1)
-        prob, obs_sel = build_local_ba(m, win, fixed, pts, sys.inv_sigma2_tab)
-        T_new, p_new, outlier = bundle_adjust(
-            sys.cam, prob, iters1=0, iters2=cfg.optim.global_ba_iters
+        pts_cap = min(cfg.capacity.global_ba_max_points, m.M)
+        n_obs_tab = jnp.sum(m.mp_obs_kf >= 0, axis=-1)
+        n_valid = int(jnp.sum(m.mp_valid))
+        if n_valid > pts_cap:
+            print(
+                f"[loop] global BA: map has {n_valid} points, optimizing "
+                f"the {pts_cap} best-observed (capacity."
+                f"global_ba_max_points); the rest follow their reference "
+                f"keyframes' correction"
+            )
+        rank = jnp.where(m.mp_valid, n_obs_tab, -1)
+        _, pts = jax.lax.top_k(rank, pts_cap)
+        pts = jnp.where(
+            jnp.take(rank, pts) >= 0, pts.astype(jnp.int32), -1
         )
+        prob, obs_sel = build_local_ba(
+            m, win, fixed, pts, sys.inv_sigma2_tab,
+            obs_cap=cfg.capacity.global_ba_obs,
+        )
+        devices = jax.devices()
+        should_abort = getattr(self.closer, "should_abort_ba", None)
+        if len(devices) > 1:
+            from jax.sharding import Mesh
+            from ..parallel.ba_sharded import sharded_bundle_adjust
+
+            mesh = Mesh(np.asarray(devices), axis_names=("pts",))
+            T_new, p_new, outlier = sharded_bundle_adjust(
+                mesh, sys.cam, prob, iters=cfg.optim.global_ba_iters,
+                chunk=5, should_abort=should_abort,
+            )
+        else:
+            from ..optim.schur import chunked_global_ba
+
+            T_new, p_new, outlier = chunked_global_ba(
+                sys.cam, prob, iters=cfg.optim.global_ba_iters,
+                chunk=5, should_abort=should_abort,
+            )
         return apply_local_ba(m, win, pts, T_new[: K], p_new, outlier, obs_sel)

@@ -126,7 +126,7 @@ def empty_track_state(n: int) -> TrackState:
         "n_features", "capacity", "n_levels", "scale_factor",
         "th_high", "th_low", "min_motion", "min_local", "min_init",
         "min_after_reloc", "fps",
-        "close_tracked_max", "close_untracked_min",
+        "close_tracked_max", "close_untracked_min", "loc_mode",
     ),
     donate_argnums=(0,),
 )
@@ -151,20 +151,27 @@ def rgbd_frame_step(
     fps: int = 30,
     close_tracked_max: int = 100,
     close_untracked_min: int = 70,
+    loc_mode: bool = False,
+    depth_scale=1.0,
 ):
     """One full RGB-D tracking step on device. Returns state' (the packed
-    per-frame outcome lands in state.ring_info — fetched in batches)."""
+    per-frame outcome lands in state.ring_info — fetched in batches).
+
+    ``gray`` may be uint8 and ``depth`` uint16 (the sensor-native TUM
+    encodings, with ``depth_scale`` = 1/DepthMapFactor); both convert on
+    device, cutting per-frame host->device transfer 4x vs float32."""
     feats = extract_orb(
         gray, cam, n_features=n_features, capacity=capacity,
         n_levels=n_levels, scale_factor=scale_factor,
         th_high=th_high, th_low=th_low, has_distortion=False,
     )
+    depth = depth.astype(jnp.float32) * depth_scale
     feats = fill_depth_from_rgbd(feats, depth, cam)
     return _track_core(
         state, feats, trkset, cam, inv_sigma2_tab, depth_threshold,
         n_levels, scale_factor, min_motion, min_local, min_init,
         min_after_reloc, fps,
-        close_tracked_max, close_untracked_min,
+        close_tracked_max, close_untracked_min, loc_mode,
     )
 
 
@@ -174,7 +181,7 @@ def rgbd_frame_step(
         "n_features", "capacity", "n_levels", "scale_factor",
         "th_high", "th_low", "min_motion", "min_local", "min_init",
         "min_after_reloc", "fps",
-        "close_tracked_max", "close_untracked_min",
+        "close_tracked_max", "close_untracked_min", "loc_mode",
     ),
     donate_argnums=(0,),
 )
@@ -199,6 +206,7 @@ def stereo_frame_step(
     fps: int = 30,
     close_tracked_max: int = 100,
     close_untracked_min: int = 70,
+    loc_mode: bool = False,
 ):
     """One full STEREO tracking step on device: dual extraction +
     row-band stereo association + the shared tracking core."""
@@ -222,7 +230,7 @@ def stereo_frame_step(
         state, feats, trkset, cam, inv_sigma2_tab, depth_threshold,
         n_levels, scale_factor, min_motion, min_local, min_init,
         min_after_reloc, fps,
-        close_tracked_max, close_untracked_min,
+        close_tracked_max, close_untracked_min, loc_mode,
     )
 
 
@@ -242,6 +250,7 @@ def _track_core(
     fps: int,
     close_tracked_max: int,
     close_untracked_min: int,
+    loc_mode: bool,
 ):
     n = feats.valid.shape[0]
     n_depth = jnp.sum(feats.valid & (feats.depth > 0))
@@ -324,6 +333,16 @@ def _track_core(
     local_ok = jnp.where(trk_populated, n_loc >= min_local_eff, frame_ok)
     T_loc = jnp.where(trk_populated, T_loc, T_start)
     n_loc = jnp.where(trk_populated, n_loc, n_frame)
+    if loc_mode:
+        # Localization-only visual odometry (tracking.cpp:407-441): when
+        # the frozen map yields too few inliers, keep the motion-model
+        # pose and survive on depth-seeded last-frame landmarks instead
+        # of going LOST.  Map tracking resumes as soon as enough frozen
+        # points re-enter the frustum.
+        vo = frame_ok & trk_populated & (n_loc < min_local_eff)
+        local_ok = local_ok | vo
+        T_loc = jnp.where(vo, T_frame, T_loc)
+        n_loc = jnp.where(vo, n_frame, n_loc)
 
     track_ok = frame_ok & local_ok
     # mpid per keypoint (map-point id) for inlier matches

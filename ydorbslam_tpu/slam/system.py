@@ -76,6 +76,15 @@ def _select_tracking_set(m: MapState, ref_kf, cap: int = 8192, max_kf: int = 80)
 
 
 @jax.jit
+def _snapshot_fetch(m: MapState, ref_kf):
+    """One fused program for the host snapshot fallback fetch — eager
+    ``m.kf_pose[ref]`` indexing would compile throwaway dynamic-slice
+    programs mid-sequence (a multi-second stall over the remote
+    tunnel)."""
+    return m.kf_valid, m.parent, m.kf_frame_id, m.kf_pose[ref_kf]
+
+
+@jax.jit
 def _count_ref_tracked(m: MapState, ref_kf, min_obs):
     """KeyFrame::trackedMapPointsNum (keyFrame.cpp:221): reference-KF
     points with >= min_obs observations."""
@@ -132,12 +141,20 @@ class SlamSystem:
         # depth threshold in meters: ThDepth baselines (tracking.cpp:62)
         self.depth_threshold = cfg.depth.th_depth * cfg.camera.bf / cfg.camera.fx
         self.n_keyframes = 0
+        # Device-resident constants for the hot paths: building these
+        # eagerly per call would add a tiny transfer (scalars) or a
+        # throwaway op compile (the -1 fill) to every frame/keyframe.
+        self._depth_thr_dev = jnp.float32(self.depth_threshold)
+        self._no_match = jnp.asarray(
+            np.full((cfg.n_keypoints,), -1, np.int32)
+        )
         self.free_kf_slots: List[int] = []
         self.ref_kf = 0
         self.frame_id = 0
         self.frames_since_kf = 0
         self.records: List[SystemRecord] = []
         self.localization_only = False
+        self.visual_odometry = False  # m_b_isDoingVisualOdometry analog
         self.loop_closer = None
         if enable_mapping:
             self.tracker.local_map_hook = self._local_map_hook
@@ -172,7 +189,13 @@ class SlamSystem:
         cfg = self.cfg
         cap = cfg.capacity
         o = cfg.orb
-        img = jnp.zeros((cfg.camera.height, cfg.camera.width), jnp.float32)
+        # Host-transferred scratch images: the REAL ingestion path
+        # transfers numpy frames, and XLA assigns transferred buffers the
+        # default layout — a device-computed scratch (jnp.zeros/.astype)
+        # can pick a different layout and silently recompile the whole
+        # tracking step at the first real frame (~9 s over the tunnel).
+        shape = (cfg.camera.height, cfg.camera.width)
+        img = jnp.asarray(np.zeros(shape, np.float32))
         kw = dict(
             n_features=o.n_features, capacity=cfg.n_keypoints,
             n_levels=o.n_levels, scale_factor=o.scale_factor,
@@ -184,14 +207,32 @@ class SlamSystem:
             fps=max(1, int(cfg.camera.fps)),
             close_tracked_max=cfg.tracking.kf_close_tracked_max,
             close_untracked_min=cfg.tracking.kf_close_untracked_min,
+            # jit's tracing cache keys on the KWARG SET, not just values:
+            # the real calls pass loc_mode explicitly, so precompile must
+            # too or the first real frame silently retraces (~9 s stall
+            # over the tunnel).
+            loc_mode=self.localization_only,
         )
         st = empty_track_state(cfg.n_keypoints)
+        img8 = jnp.asarray(np.zeros(shape, np.uint8))
+        img16 = jnp.asarray(np.zeros(shape, np.uint16))
         if self.sensor == Sensor.RGBD:
+            # warm BOTH ingestion dtypes: sensor-native u8/u16 and f32
+            st = rgbd_frame_step(
+                st, img8, img16, self._trkset, self.cam,
+                self.inv_sigma2_tab, jnp.float32(self.depth_threshold),
+                depth_scale=jnp.float32(1.0), **kw,
+            )
             st = rgbd_frame_step(
                 st, img, img, self._trkset, self.cam, self.inv_sigma2_tab,
-                jnp.float32(self.depth_threshold), **kw,
+                jnp.float32(self.depth_threshold),
+                depth_scale=jnp.float32(1.0), **kw,
             )
         else:
+            st = stereo_frame_step(
+                st, img8, img8, self._trkset, self.cam, self.inv_sigma2_tab,
+                jnp.float32(self.depth_threshold), **kw,
+            )
             st = stereo_frame_step(
                 st, img, img, self._trkset, self.cam, self.inv_sigma2_tab,
                 jnp.float32(self.depth_threshold), **kw,
@@ -236,6 +277,7 @@ class SlamSystem:
         )
         for min_obs in (2, 3):
             _count_ref_tracked(self.map, 0, min_obs)
+        _snapshot_fetch(self.map, jnp.int32(0))
         jax.block_until_ready(m)
 
     # ------------------------------------------------------------------
@@ -251,9 +293,8 @@ class SlamSystem:
         vector that is copied host-ward asynchronously and consumed a
         few frames later (each device->host read through the remote
         tunnel costs a ~25ms round trip, so everything is one vector)."""
-        m = self.map
         got = jax.device_get(
-            (m.kf_valid, m.parent, m.kf_frame_id, m.kf_pose[self.ref_kf])
+            _snapshot_fetch(self.map, jnp.int32(self.ref_kf))
         )
         self._snap = {
             "kf_valid": got[0].copy(),
@@ -324,11 +365,15 @@ class SlamSystem:
         return ok
 
     def activate_localization_mode(self):
-        """Pause mapping; keep tracking (system.cpp:80-87)."""
+        """Pause mapping; keep tracking (system.cpp:80-87).  Tracking
+        falls back to visual odometry (motion model over depth-seeded
+        last-frame landmarks) whenever the frozen map leaves the frustum
+        (tracking.cpp:407-441)."""
         self.localization_only = True
 
     def deactivate_localization_mode(self):
         self.localization_only = False
+        self.visual_odometry = False
 
     def reset(self):
         """Clear map + tracker state (system.cpp:96-102, tracking.cpp:150-180)."""
@@ -362,6 +407,8 @@ class SlamSystem:
         (system.cpp:176-191 parity)."""
         if getattr(self, "_pending", None):
             self.flush_pipeline()
+        if self.loop_closer is not None:
+            self.loop_closer.flush()
 
     def update_calibration(self, yaml_path: str):
         """Runtime re-calibration from a settings YAML
@@ -376,6 +423,7 @@ class SlamSystem:
         self.depth_threshold = (
             self.cfg.depth.th_depth * self.cfg.camera.bf / self.cfg.camera.fx
         )
+        self._depth_thr_dev = jnp.float32(self.depth_threshold)
 
     def tracking_state(self) -> TrackingState:
         return self.tracker.state
@@ -440,11 +488,20 @@ class SlamSystem:
 
         cfg = self.cfg
         o = cfg.orb
+        # Sensor-native ingestion: uint8 gray / uint16 raw depth ship as
+        # is (4x less host->device traffic than float32); conversion and
+        # DepthMapFactor scaling happen inside the jitted step.
+        depth = np.asarray(depth)
+        scale = (
+            1.0 / cfg.depth.depth_map_factor
+            if depth.dtype == np.uint16 else 1.0
+        )
         self._dstate = rgbd_frame_step(
             self._dstate,
-            jnp.asarray(gray, jnp.float32), jnp.asarray(depth, jnp.float32),
+            jnp.asarray(gray), jnp.asarray(depth),
             self._trkset, self.cam, self.inv_sigma2_tab,
-            jnp.float32(self.depth_threshold),
+            self._depth_thr_dev,
+            depth_scale=jnp.float32(scale),
             n_features=o.n_features, capacity=cfg.n_keypoints,
             n_levels=o.n_levels, scale_factor=o.scale_factor,
             th_high=o.ini_th_fast, th_low=o.min_th_fast,
@@ -455,6 +512,7 @@ class SlamSystem:
             fps=max(1, int(cfg.camera.fps)),
             close_tracked_max=cfg.tracking.kf_close_tracked_max,
             close_untracked_min=cfg.tracking.kf_close_untracked_min,
+            loc_mode=self.localization_only,
         )
         self._pending.append((timestamp, self.frame_id))
         self.frame_id += 1
@@ -469,9 +527,9 @@ class SlamSystem:
         o = cfg.orb
         self._dstate = stereo_frame_step(
             self._dstate,
-            jnp.asarray(gray_l, jnp.float32), jnp.asarray(gray_r, jnp.float32),
+            jnp.asarray(gray_l), jnp.asarray(gray_r),
             self._trkset, self.cam, self.inv_sigma2_tab,
-            jnp.float32(self.depth_threshold),
+            self._depth_thr_dev,
             n_features=o.n_features, capacity=cfg.n_keypoints,
             n_levels=o.n_levels, scale_factor=o.scale_factor,
             th_high=o.ini_th_fast, th_low=o.min_th_fast,
@@ -482,6 +540,7 @@ class SlamSystem:
             fps=max(1, int(cfg.camera.fps)),
             close_tracked_max=cfg.tracking.kf_close_tracked_max,
             close_untracked_min=cfg.tracking.kf_close_untracked_min,
+            loc_mode=self.localization_only,
         )
         self._pending.append((timestamp, self.frame_id))
         self.frame_id += 1
@@ -565,7 +624,7 @@ class SlamSystem:
         win_cap, fix_cap, pts_cap = self._ba_caps()
         self.map, snap_vec = mapping_finish(
             self.map, jnp.int32(self.ref_kf), self.cam,
-            self.inv_sigma2_tab, jnp.float32(self.depth_threshold),
+            self.inv_sigma2_tab, self._depth_thr_dev,
             iters1=cfg.optim.local_ba_iters_1,
             iters2=cfg.optim.local_ba_iters_2,
             win_cap=win_cap, fix_cap=fix_cap, pts_cap=pts_cap,
@@ -749,7 +808,26 @@ class SlamSystem:
         n_in = int(n_in)
         threshold = cfg.tracking.min_matches_local_map
         if n_in < threshold:
+            if self.localization_only and self.n_keyframes > 0:
+                # Visual-odometry mode (tracking.cpp:407-441 +
+                # m_b_isDoingVisualOdometry): the frozen map has too few
+                # visible points, so keep the motion-model pose and track
+                # frame-to-frame off the depth-seeded landmarks that
+                # _adopt_frame backprojects — the reference's temporary
+                # VO map points, without the allocation (its points exist
+                # only to feed the next frame's motion search, which our
+                # last-frame landmark array already is).  The map stays
+                # untouched; normal map tracking resumes the moment
+                # enough map points re-enter the frustum.
+                self.visual_odometry = True
+                T_ref = self.map.kf_pose[self.ref_kf]
+                self.records.append(SystemRecord(
+                    timestamp, self.ref_kf,
+                    np.asarray(tracker.new_T @ jnp.linalg.inv(T_ref)), False,
+                ))
+                return True
             return False
+        self.visual_odometry = False
         tracker.new_T = T_opt
         tracker.n_inliers = n_in
 
@@ -968,14 +1046,16 @@ class SlamSystem:
         if slot is None:
             return
         if matched_mp is None:
-            matched_mp = -jnp.ones((feats.n,), jnp.int32)
+            matched_mp = self._no_match
         # Map initialization seeds a point for EVERY keypoint with depth
         # (tracking.cpp:343); later keyframes seed only close points
         # (tracking.cpp:804-837).
-        depth_limit = 1e9 if self.n_keyframes == 0 else self.depth_threshold
+        depth_limit = (
+            jnp.float32(1e9) if self.n_keyframes == 0 else self._depth_thr_dev
+        )
         self.map, _ = insert_keyframe(
             self.map, slot, self.frame_id, timestamp, feats, T_cw, matched_mp,
-            self.cam, jnp.float32(depth_limit), jnp.int32(self.n_keyframes),
+            self.cam, depth_limit, jnp.int32(self.n_keyframes),
             scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels,
             min_close_seed=cfg.tracking.min_close_seed_points,
         )
@@ -1025,7 +1105,7 @@ class SlamSystem:
                 self.map, snap_vec = mapping_step(
                     self.map, jnp.int32(slot), jnp.int32(self.n_keyframes),
                     self.cam, self.inv_sigma2_tab,
-                    jnp.float32(self.depth_threshold),
+                    self._depth_thr_dev,
                     scale_factor=cfg.orb.scale_factor,
                     n_levels=cfg.orb.n_levels,
                     iters1=cfg.optim.local_ba_iters_1,

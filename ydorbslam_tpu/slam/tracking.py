@@ -121,7 +121,7 @@ class Tracker:
             )
         )
         return extract_orb(
-            jnp.asarray(gray, dtype=jnp.float32), self.cam,
+            jnp.asarray(gray), self.cam,
             n_features=o.n_features, capacity=self.cfg.n_keypoints,
             n_levels=o.n_levels, scale_factor=o.scale_factor,
             th_high=o.ini_th_fast, th_low=o.min_th_fast,
@@ -131,7 +131,12 @@ class Tracker:
     def track_rgbd(self, timestamp: float, gray: np.ndarray, depth: np.ndarray):
         """System::trackRGBD -> Tracking::grabImageRGBD (tracking.cpp:96-118)."""
         feats = self._extract(gray)
-        feats = fill_depth_from_rgbd(feats, jnp.asarray(depth, jnp.float32), self.cam)
+        depth = np.asarray(depth)
+        if depth.dtype == np.uint16:  # sensor-native TUM encoding
+            depth = depth.astype(np.float32) / self.cfg.depth.depth_map_factor
+        feats = fill_depth_from_rgbd(
+            feats, jnp.asarray(depth, jnp.float32), self.cam
+        )
         return self._track(timestamp, feats)
 
     def track_stereo(self, timestamp: float, gray_l: np.ndarray, gray_r: np.ndarray):
