@@ -23,6 +23,7 @@ with per-phase device/host timings (regression tracking for the numbers
 quoted in commit messages).
 """
 import json
+import os
 import sys
 import time
 
@@ -31,12 +32,18 @@ import numpy as np
 DEPTH_FACTOR = 5000.0  # TUM uint16 depth encoding
 
 
-def make_frames(n_frames=40):
+def make_frames(n_frames=60):
     sys.path.insert(0, "tests")
     from synthetic import SyntheticRgbdSequence
 
     rng = np.random.default_rng(0)
-    seq = SyntheticRgbdSequence(rng, n_frames=n_frames, n_landmarks=800)
+    # 1500 landmarks ~= the keypoint-with-depth density of a TUM desk
+    # frame: close-tracked counts then sit above the close-point KF
+    # trigger most frames (tracking.cpp:762-775), giving the ~1 KF per
+    # 6-10 frames cadence real sequences produce.  At 800 landmarks the
+    # dot scene starved tracked_close and fired a keyframe every ~3
+    # frames — 3x the reference's mapping duty cycle.
+    seq = SyntheticRgbdSequence(rng, n_frames=n_frames, n_landmarks=1500)
     frames = []
     for i in range(n_frames):
         t, g, d = seq.frame(i)
@@ -64,7 +71,7 @@ def make_system(enable_loop_closing):
         depth=DepthConfig(depth_map_factor=DEPTH_FACTOR),
     )
     system = SlamSystem(cfg, Sensor.RGBD, enable_loop_closing=enable_loop_closing)
-    system.enable_pipelined(lag=8)
+    system.enable_pipelined(lag=12)
     system.precompile()
     return system
 
@@ -181,7 +188,9 @@ def profile(frames):
 
     out["mapping_finish_ms"] = float(np.median([fin() for _ in range(3)]))
 
+    nkf0 = system.n_keyframes
     fps, times, drain = run(system, frames)
+    out["keyframes_in_run"] = system.n_keyframes - nkf0
     out["steady_fps"] = round(fps, 2)
     out["frame_ms_p50"] = float(np.percentile([x * 1000 for x in times], 50))
     out["frame_ms_p95"] = float(np.percentile([x * 1000 for x in times], 95))
@@ -213,6 +222,8 @@ def main():
             }
         )
     )
+    if os.environ.get("BENCH_ONLY_PRIMARY"):
+        return
     # Informational second line: everything on (loop closing enabled).
     system = make_system(enable_loop_closing=True)
     fps2, _, _ = run(system, frames)

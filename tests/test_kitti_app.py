@@ -1,0 +1,90 @@
+"""End-to-end KITTI stereo app test on a synthetic KITTI-format dataset.
+
+The KITTI runner (apps/run_kitti_stereo.py) had never executed against
+actual files (VERDICT r1 weak item 9).  This test writes a real
+KITTI-layout sequence dir (image_0/image_1 PNGs, calib.txt, times.txt,
+poses.txt) rendered from the synthetic dot world with a true stereo
+baseline, then drives the app's main() — loader, calib parsing, stereo
+tracking, timing report, trajectory export and ATE all exercised.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from synthetic import make_landmarks, project_np, render_dots, circular_trajectory
+
+FX, FY, CX, CY = 500.0, 500.0, 320.0, 240.0
+BF = 50.0  # baseline * fx
+W, H = 640, 480
+
+
+def _write_kitti_sequence(root, rng, n_frames=10):
+    from PIL import Image
+
+    os.makedirs(os.path.join(root, "image_0"))
+    os.makedirs(os.path.join(root, "image_1"))
+    K = np.array([[FX, 0, CX], [0, FY, CY], [0, 0, 1.0]])
+    lms = make_landmarks(rng, 500)
+    poses = circular_trajectory(n_frames)
+    b = BF / FX
+    T_r = np.eye(4)
+    T_r[0, 3] = -b  # right camera: shift left points by -b in camera x
+    times = []
+    gt_rows = []
+    for i, T_cw in enumerate(poses):
+        uv_l, z_l = project_np(K, T_cw, lms)
+        uv_r, z_r = project_np(K, T_r @ T_cw, lms)
+        img_l = render_dots(uv_l, z_l, W, H)
+        img_r = render_dots(uv_r, z_r, W, H)
+        for sub, img in (("image_0", img_l), ("image_1", img_r)):
+            Image.fromarray(img.astype(np.uint8), "L").save(
+                os.path.join(root, sub, f"{i:06d}.png")
+            )
+        times.append(i / 10.0)
+        T_wc = np.linalg.inv(T_cw)
+        gt_rows.append(T_wc[:3, :].reshape(-1))
+    with open(os.path.join(root, "times.txt"), "w") as f:
+        f.write("\n".join(f"{t:.6f}" for t in times))
+    # calib.txt: P0/P1 projection rows (KITTI odometry grayscale pair)
+    P0 = np.array([[FX, 0, CX, 0], [0, FY, CY, 0], [0, 0, 1, 0]])
+    P1 = P0.copy()
+    P1[0, 3] = -BF
+    with open(os.path.join(root, "calib.txt"), "w") as f:
+        for name, P in (("P0", P0), ("P1", P1)):
+            f.write(name + ": " + " ".join(f"{x:.6e}" for x in P.reshape(-1)) + "\n")
+    poses_path = os.path.join(root, "poses.txt")
+    np.savetxt(poses_path, np.stack(gt_rows))
+    return poses_path
+
+
+def test_kitti_stereo_app_end_to_end(rng, tmp_path, capsys, monkeypatch):
+    seq_dir = str(tmp_path / "seq00")
+    poses_path = _write_kitti_sequence(seq_dir, rng)
+    out_traj = str(tmp_path / "traj.txt")
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "apps"))
+    import run_kitti_stereo
+
+    monkeypatch.setattr(
+        sys, "argv",
+        [
+            "run_kitti_stereo.py", seq_dir, "--poses", poses_path,
+            "--no-loop", "--out-trajectory", out_traj,
+        ],
+    )
+    run_kitti_stereo.main()
+    out = capsys.readouterr().out
+    assert "median tracking time:" in out
+    assert "mean tracking time:" in out
+    assert "ATE RMSE:" in out
+    ate = float(out.split("ATE RMSE:")[1].split("m")[0])
+    assert ate < 0.10, f"KITTI app ATE {ate} m"
+    assert os.path.exists(out_traj)
+    from ydorbslam_tpu.io.trajectory import read_tum_trajectory
+
+    ts, pos, _ = read_tum_trajectory(out_traj)
+    assert len(ts) >= 8

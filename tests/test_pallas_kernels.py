@@ -43,3 +43,30 @@ def test_fast_score_nms_matches_reference(rng):
     ref = nms_and_border(fast_score_map(img), 16)
     out = fast_score_nms_pallas(img, 16)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_masked_best2_levels_matches_dense(rng):
+    """Two-level fused sweep == dense matrix best/second per level."""
+    import jax.numpy as jnp
+
+    from ydorbslam_tpu.ops.hamming import INVALID_DIST, distance_matrix
+    from ydorbslam_tpu.ops.pallas_kernels import masked_best2_levels_pallas
+
+    M, N = 256, 128
+    a = jnp.asarray(rng.integers(0, 2**32, (M, 8), dtype=np.uint32))
+    b = jnp.asarray(rng.integers(0, 2**32, (N, 8), dtype=np.uint32))
+    levels = jnp.asarray(rng.integers(0, 3, (M, N)).astype(np.int32))
+    (iw, bw, sw), (inr, bn, sn) = masked_best2_levels_pallas(a, b, levels)
+    d = np.asarray(distance_matrix(a, b))
+    for min_lvl, (idx, b1, b2) in ((1, (iw, bw, sw)), (2, (inr, bn, sn))):
+        dm = np.where(np.asarray(levels) >= min_lvl, d, 10_000)
+        exp_idx = dm.argmin(1)
+        exp_b1 = dm.min(1)
+        part = np.partition(dm, 1, axis=1)
+        exp_b2 = part[:, 1]
+        got_b1 = np.asarray(b1)
+        np.testing.assert_array_equal(got_b1, exp_b1)
+        np.testing.assert_array_equal(np.asarray(b2), exp_b2)
+        has = exp_b1 < 10_000
+        np.testing.assert_array_equal(np.asarray(idx)[has], exp_idx[has])
+        assert (np.asarray(idx)[~has] == -1).all()

@@ -49,19 +49,22 @@ def parse_association(assoc_path: str) -> TumAssociation:
 
 
 def load_image_gray(path: str, is_rgb_order: bool = False) -> np.ndarray:
-    """Load an image as float32 grayscale [0,255], shape (H, W).
+    """Load an image as SENSOR-NATIVE uint8 grayscale, shape (H, W).
 
     Uses the Rec.601 luma weights of ``cv::cvtColor(BGR2GRAY)``
     (src/tracking.cpp:99-106); PIL's 'L' mode uses the same weights.
+    uint8 ships 4x less host->device data than a float32 conversion;
+    the device converts (ops/extractor.extract_orb).
     """
     from PIL import Image
 
     img = Image.open(path)
     if img.mode in ("I;16", "I"):
-        return np.asarray(img, dtype=np.float32)
+        a = np.asarray(img)
+        return np.clip(a, 0, 255).astype(np.uint8)
     if img.mode != "L":
         img = img.convert("L")
-    return np.asarray(img, dtype=np.float32)
+    return np.asarray(img, dtype=np.uint8)
 
 
 def load_depth(path: str, depth_map_factor: float) -> np.ndarray:
@@ -77,6 +80,18 @@ def load_depth(path: str, depth_map_factor: float) -> np.ndarray:
     if arr.ndim == 3:
         arr = arr[..., 0]
     return arr / float(depth_map_factor)
+
+
+def load_depth_raw(path: str) -> np.ndarray:
+    """Load a TUM 16-bit depth PNG as RAW uint16 (sensor-native; the
+    device applies 1/DepthMapFactor — slam/pipeline.rgbd_frame_step)."""
+    from PIL import Image
+
+    img = Image.open(path)
+    arr = np.asarray(img)
+    if arr.ndim == 3:
+        arr = arr[..., 0]
+    return arr.astype(np.uint16)
 
 
 class TumRgbdDataset:
@@ -96,5 +111,5 @@ class TumRgbdDataset:
         return (
             self.assoc.timestamps[i],
             load_image_gray(rgb),
-            load_depth(dep, self.depth_map_factor),
+            load_depth_raw(dep),
         )

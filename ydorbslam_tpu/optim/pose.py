@@ -9,11 +9,15 @@ estimate per episode); the Huber kernel is dropped from episode index 3
 onward (reference ``if(epi==2) setRobustKernel(0)`` takes effect the
 following episode).
 
-TPU formulation: all N observations live in fixed (N, 3) tensors with
-validity masks; one LM iteration is residuals -> 6x6 normal equations
-(two einsums) -> solve -> accept/reject, all inside a ``lax.fori_loop``;
-episodes are an unrolled Python loop (static count).  There is no
-dynamic edge removal: "setLevel(1)" becomes a weight mask.
+TPU formulation: the per-observation algebra is fully FLAT — Jacobian
+components are individual (N,) lanes-dense arrays and the 6x6 normal
+equations are 27 masked reductions stacked into one (N, 28) sum (the
+(N, 3, 6) vmapped layout runs 128-wide vector lanes at <15%
+occupancy).  This runs inside the frame-rate hot path twice per frame
+(motion + local-map tracking), so the LM loop also CARRIES the normal
+equations of the current pose between iterations: one projection pass
+per iteration instead of the naive two (the step pass at T equals the
+previous iteration's cost pass at T_new).
 """
 from __future__ import annotations
 
@@ -25,13 +29,7 @@ import jax.numpy as jnp
 
 from ..geometry.camera import CameraIntrinsics
 from ..geometry.se3 import se3_exp
-from .residuals import (
-    batched_residual_and_jacobians,
-    chi2_per_obs,
-    huber_cost,
-    huber_scale,
-    observation_weights,
-)
+from .residuals import huber_cost, huber_scale
 
 CHI2_MONO = 5.991
 CHI2_STEREO = 7.815
@@ -47,42 +45,117 @@ class PoseObservations(NamedTuple):
     valid: jax.Array  # (N,) bool
 
 
-def _normal_equations(cam, T, obs: PoseObservations, active, use_huber, delta2):
-    r, J, _, depth = batched_residual_and_jacobians(cam, T, obs.p_w, obs.obs_uvr)
-    w = observation_weights(obs.has_stereo, obs.inv_sigma2)
-    mask = (active & (depth > 1e-3)).astype(jnp.float32)[:, None]
-    chi2 = chi2_per_obs(r, w)
-    hub = jnp.where(use_huber, huber_scale(chi2, delta2), 1.0)
-    wt = w * mask * hub[:, None]
-    H = jnp.einsum("nci,nc,ncj->ij", J, wt, J)
-    b = jnp.einsum("nci,nc,nc->i", J, wt, r)
-    cost = jnp.sum(
-        jnp.where(
-            use_huber, huber_cost(chi2, delta2), chi2
-        ) * mask[:, 0]
+def _flat_project(cam, T, p_w, obs_uvr):
+    """Componentwise projection: returns dict of (N,) arrays."""
+    R, t = T[:3, :3], T[:3, 3]
+    X, Y, Z = p_w[:, 0], p_w[:, 1], p_w[:, 2]
+    x = R[0, 0] * X + R[0, 1] * Y + R[0, 2] * Z + t[0]
+    y = R[1, 0] * X + R[1, 1] * Y + R[1, 2] * Z + t[1]
+    zr = R[2, 0] * X + R[2, 1] * Y + R[2, 2] * Z + t[2]
+    z = jnp.maximum(zr, 1e-6)
+    iz = 1.0 / z
+    u = cam.fx * x * iz + cam.cx
+    v = cam.fy * y * iz + cam.cy
+    ur = u - cam.bf * iz
+    return dict(
+        x=x, y=y, z=z, zr=zr, iz=iz,
+        ru=obs_uvr[:, 0] - u, rv=obs_uvr[:, 1] - v, rr=obs_uvr[:, 2] - ur,
     )
+
+
+def _chi2_flat(pr, wu, wv, wr):
+    return pr["ru"] ** 2 * wu + pr["rv"] ** 2 * wv + pr["rr"] ** 2 * wr
+
+
+_TRI = [(i, j) for i in range(6) for j in range(i, 6)]  # 21 upper entries
+
+
+def _normal_equations_flat(cam, T, obs: PoseObservations, active, use_huber,
+                           delta2):
+    """One flat pass: (H (6,6), b (6,), robust cost ()).
+
+    Identical math to the vmapped formulation (J = -d pred/d xi for
+    left-multiplied twists, r = obs - pred), verified against it in
+    tests/test_optim_pose.py.
+    """
+    pr = _flat_project(cam, T, obs.p_w, obs.obs_uvr)
+    mask = (active & (pr["zr"] > 1e-3)).astype(jnp.float32)
+    wu = obs.inv_sigma2 * mask
+    wr = wu * obs.has_stereo.astype(jnp.float32)
+    chi2 = _chi2_flat(pr, wu, wu, wr)
+    cost = jnp.sum(jnp.where(use_huber, huber_cost(chi2, delta2), chi2))
+    hub = jnp.where(use_huber, huber_scale(chi2, delta2), 1.0)
+    wu_h, wr_h = wu * hub, wr * hub
+
+    x, y, z, iz = pr["x"], pr["y"], pr["z"], pr["iz"]
+    iz2 = iz * iz
+    a = cam.fx * iz
+    c3 = -cam.fx * x * iz2
+    d = cam.fy * iz
+    e = -cam.fy * y * iz2
+    cr = c3 + cam.bf * iz2
+    zero = jnp.zeros_like(a)
+    Ju = (-a, zero, -c3, -c3 * y, -(a * z - c3 * x), a * y)
+    Jv = (zero, -d, -e, -(-d * z + e * y), e * x, -d * x)
+    Jr = (-a, zero, -cr, -cr * y, -(a * z - cr * x), a * y)
+
+    def rs(Ai, Bj):
+        return wu_h * (Ju[Ai] * Ju[Bj] + Jv[Ai] * Jv[Bj]) + wr_h * Jr[Ai] * Jr[Bj]
+
+    rrow = (pr["ru"], pr["rv"], pr["rr"])
+    cols = [rs(i, j) for (i, j) in _TRI]
+    cols += [
+        wu_h * (Ju[i] * rrow[0] + Jv[i] * rrow[1]) + wr_h * Jr[i] * rrow[2]
+        for i in range(6)
+    ]
+    red = jnp.sum(jnp.stack(cols, -1), axis=0)  # (27,)
+    Hu = red[:21]
+    b = red[21:27]
+    H = jnp.zeros((6, 6))
+    for k, (i, j) in enumerate(_TRI):
+        H = H.at[i, j].set(Hu[k])
+        if i != j:
+            H = H.at[j, i].set(Hu[k])
     return H, b, cost
 
 
+def _classify_flat(cam, T, obs: PoseObservations, delta2):
+    pr = _flat_project(cam, T, obs.p_w, obs.obs_uvr)
+    wu = obs.inv_sigma2
+    wr = wu * obs.has_stereo.astype(jnp.float32)
+    chi2 = _chi2_flat(pr, wu, wu, wr)
+    return obs.valid & (chi2 <= delta2) & (pr["zr"] > 1e-3)
+
+
 def _lm_refine(cam, T0, obs: PoseObservations, active, iters, use_huber, delta2):
-    """LM loop with adaptive damping, fixed iteration count."""
+    """LM loop with adaptive damping, fixed iteration count.
+
+    Carries (H, b, cost) of the CURRENT pose so each iteration does one
+    projection pass (step from the carried system, evaluate at T_new,
+    keep whichever pose won)."""
 
     def body(_, state):
-        T, lam, cost = state
-        H, b, _ = _normal_equations(cam, T, obs, active, use_huber, delta2)
-        # b = J^T W r with J = dr/dxi; Gauss-Newton: dx = -H^-1 b.
+        T, H, b, lam, cost = state
         damped = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6)
         dx = -jnp.linalg.solve(damped, b)
         T_new = se3_exp(dx) @ T
-        _, _, cost_new = _normal_equations(cam, T_new, obs, active, use_huber, delta2)
+        H_new, b_new, cost_new = _normal_equations_flat(
+            cam, T_new, obs, active, use_huber, delta2
+        )
         accept = cost_new < cost
         T = jnp.where(accept, T_new, T)
+        H = jnp.where(accept, H_new, H)
+        b = jnp.where(accept, b_new, b)
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-7), jnp.minimum(lam * 4.0, 1e4))
         cost = jnp.where(accept, cost_new, cost)
-        return T, lam, cost
+        return T, H, b, lam, cost
 
-    _, _, cost0 = _normal_equations(cam, T0, obs, active, use_huber, delta2)
-    T, _, _ = jax.lax.fori_loop(0, iters, body, (T0, jnp.float32(1e-3), cost0))
+    H0, b0, cost0 = _normal_equations_flat(
+        cam, T0, obs, active, use_huber, delta2
+    )
+    T, _, _, _, _ = jax.lax.fori_loop(
+        0, iters, body, (T0, H0, b0, jnp.float32(1e-3), cost0)
+    )
     return T
 
 
@@ -109,10 +182,5 @@ def optimize_pose(
             cam, T_cw_init, obs, inlier, iters_per_episode, use_huber, delta2
         )
         # Re-classify ALL valid observations by raw chi2 at the new pose.
-        r, _, _, depth = batched_residual_and_jacobians(
-            cam, T, obs.p_w, obs.obs_uvr
-        )
-        w = observation_weights(obs.has_stereo, obs.inv_sigma2)
-        chi2 = chi2_per_obs(r, w)
-        inlier = obs.valid & (chi2 <= delta2) & (depth > 1e-3)
+        inlier = _classify_flat(cam, T, obs, delta2)
     return T, inlier, jnp.sum(inlier)

@@ -27,11 +27,7 @@ import numpy as np
 from ..geometry.se3 import inv_T
 from ..geometry.sim3 import inv_S, sim3_to_se3
 from ..optim.horn import ransac_sim3
-from ..optim.pose_graph import (
-    PoseGraphProblem,
-    edge_measurement,
-    optimize_pose_graph,
-)
+from ..optim.pose_graph import PoseGraphProblem, optimize_pose_graph
 from ..optim.schur import BAProblem, bundle_adjust
 from ..optim.sim3_opt import optimize_sim3
 from .map_state import MapState
@@ -268,15 +264,20 @@ class LoopCloserImpl:
         old_poses = m.kf_pose  # snapshot (non-corrected)
 
         # Corrected Sim3 for kf1 and its covisible group.
+        # One batched program corrects the whole covisible group and its
+        # points (loopClosing.cpp:250-305 walks them one mutex-guarded
+        # object at a time; per-member device dispatches through the
+        # remote tunnel would cost a round trip each at K=512 scale).
         S_cw_corr = S_12 @ m.kf_pose[kf2]
         group = np.where((np.asarray(m.covis[kf1]) > 0) & np.asarray(m.kf_valid))[0]
         group = np.unique(np.concatenate([group, [kf1]]))
+        group_j = jnp.asarray(group, jnp.int32)
         T_old_kf1_inv = inv_T(old_poses[kf1])
-
-        corrected = {}
-        for k in group:
-            T_k_kf1 = old_poses[k] @ T_old_kf1_inv
-            corrected[int(k)] = T_k_kf1 @ S_cw_corr
+        corrected_g = jnp.einsum(
+            "gij,jk->gik", old_poses[group_j] @ T_old_kf1_inv, S_cw_corr
+        )  # (G,4,4) corrected Sim3 per group member
+        corrected_host = np.asarray(corrected_g)
+        corrected = {int(k): corrected_host[i] for i, k in enumerate(group)}
 
         # Move the group's map points through old^-1 then corrected pose
         # (loopClosing.cpp:263-287).
@@ -287,8 +288,11 @@ class LoopCloserImpl:
             ref = np.asarray(m.mp_ref_kf)[pts]
             # use each point's strongest group keyframe: fall back to kf1
             use_kf = np.where(np.isin(ref, group), ref, kf1)
+            g_index = {int(k): i for i, k in enumerate(group)}
             S_old = old_poses[jnp.asarray(use_kf)]
-            S_new = jnp.stack([corrected[int(k)] for k in use_kf])
+            S_new = corrected_g[
+                jnp.asarray([g_index[int(k)] for k in use_kf], jnp.int32)
+            ]
             p = m.mp_pos[ptsj]
             p_cam = jnp.einsum("nij,nj->ni", S_old[:, :3, :3], p) + S_old[:, :3, 3]
             S_new_inv = inv_T(S_new)  # corrected poses are SE3 (s=1)
@@ -298,10 +302,8 @@ class LoopCloserImpl:
             )
             m = m._replace(mp_pos=m.mp_pos.at[ptsj].set(p_corr))
 
-        # Write corrected keyframe poses (as SE3).
-        kf_pose = m.kf_pose
-        for k, S in corrected.items():
-            kf_pose = kf_pose.at[k].set(sim3_to_se3(S))
+        # Write corrected keyframe poses (as SE3), one batched scatter.
+        kf_pose = m.kf_pose.at[group_j].set(jax.vmap(sim3_to_se3)(corrected_g))
         m = m._replace(kf_pose=kf_pose, loop_edge=m.loop_edge.at[kf1].set(kf2))
         sys.map = m
 
@@ -327,7 +329,9 @@ class LoopCloserImpl:
         parent = np.asarray(m.parent)
         loop_edge = np.asarray(m.loop_edge)
         ei, ej, meas, w = [], [], [], []
-        old_np = old_poses
+        # ONE device fetch; per-edge measurements are 4x4 numpy products
+        # (a device op per edge costs a tunnel round trip each).
+        old_np = np.asarray(old_poses)
 
         def add_edge(i, j, weight, use_corrected=False):
             if i < 0 or j < 0 or i == j or not (kf_valid[i] and kf_valid[j]):
@@ -339,7 +343,7 @@ class LoopCloserImpl:
                 Si, Sj = old_np[i], old_np[j]
             ei.append(i)
             ej.append(j)
-            meas.append(np.asarray(edge_measurement(Si, Sj)))
+            meas.append(Si @ np.linalg.inv(Sj))
             w.append(weight)
 
         for i in range(K):

@@ -217,24 +217,17 @@ class SlamSystem:
         img8 = jnp.asarray(np.zeros(shape, np.uint8))
         img16 = jnp.asarray(np.zeros(shape, np.uint16))
         if self.sensor == Sensor.RGBD:
-            # warm BOTH ingestion dtypes: sensor-native u8/u16 and f32
+            # Sensor-native ingestion only (uint8 gray + uint16 depth —
+            # what the TUM loader and bench deliver).  A float32 feed
+            # still works; its step variant compiles on first use.
             st = rgbd_frame_step(
                 st, img8, img16, self._trkset, self.cam,
                 self.inv_sigma2_tab, jnp.float32(self.depth_threshold),
                 depth_scale=jnp.float32(1.0), **kw,
             )
-            st = rgbd_frame_step(
-                st, img, img, self._trkset, self.cam, self.inv_sigma2_tab,
-                jnp.float32(self.depth_threshold),
-                depth_scale=jnp.float32(1.0), **kw,
-            )
         else:
             st = stereo_frame_step(
                 st, img8, img8, self._trkset, self.cam, self.inv_sigma2_tab,
-                jnp.float32(self.depth_threshold), **kw,
-            )
-            st = stereo_frame_step(
-                st, img, img, self._trkset, self.cam, self.inv_sigma2_tab,
                 jnp.float32(self.depth_threshold), **kw,
             )
         feats, mpid, T = read_ring(st, 0)
@@ -278,6 +271,22 @@ class SlamSystem:
         for min_obs in (2, 3):
             _count_ref_tracked(self.map, 0, min_obs)
         _snapshot_fetch(self.map, jnp.int32(0))
+        if self.loop_closer is not None:
+            # Loop-candidate detection runs on every keyframe once the
+            # closer is active; compile it here, not mid-sequence.
+            from .loop_impl import _detect_on_device
+
+            C = cap.loop_candidates
+            # kf_id as a python int: the real call site passes one, and
+            # weak-vs-strong scalar typing is a tracing-cache key.
+            _detect_on_device(
+                self.map, self.retrieval, 0,
+                jnp.zeros((C, self.map.K), bool),
+                -jnp.ones((C,), jnp.int32),
+                C, cfg.loop.covisibility_consistency_th,
+                n_banks=cfg.loop.retrieval_banks,
+                bank_bits=cfg.loop.retrieval_bank_bits,
+            )
         jax.block_until_ready(m)
 
     # ------------------------------------------------------------------
