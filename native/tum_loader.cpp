@@ -8,9 +8,12 @@
 // (ydorbslam_tpu/io/native_loader.py).
 //
 // Scope: non-interlaced 8-bit grayscale/RGB/RGBA PNGs (TUM rgb) and
-// 16-bit grayscale PNGs (TUM depth).  Output is float32 grayscale
-// [0,255] (Rec.601 luma, matching cv::cvtColor BGR2GRAY) and float32
-// depth in meters (raw/depth_map_factor).
+// 16-bit grayscale PNGs (TUM depth).  Output is SENSOR-NATIVE: uint8
+// grayscale (Rec.601 luma, matching cv::cvtColor BGR2GRAY) and raw
+// uint16 depth -- the device applies 1/DepthMapFactor
+// (src/tracking.cpp:108-114 analog lives in slam/pipeline.py).  This
+// matches ydorbslam_tpu.io.TumRgbdDataset exactly and ships 3x less
+// host->device data than float32.
 //
 // Build: g++ -O3 -shared -fPIC tum_loader.cpp -o libtumloader.so -lz -lpthread
 
@@ -125,47 +128,48 @@ bool decode_png(const std::string& path, Image& out) {
   return true;
 }
 
-void to_gray_f32(const Image& im, float* out) {
+void to_gray_u8(const Image& im, uint8_t* out) {
   const int n = im.width * im.height;
   if (im.channels == 1 && im.bit_depth == 8) {
-    for (int i = 0; i < n; ++i) out[i] = float(im.data[i]);
+    std::memcpy(out, im.data.data(), size_t(n));
   } else if (im.bit_depth == 8) {
     const int c = im.channels;
     for (int i = 0; i < n; ++i) {
       const uint8_t* p = &im.data[size_t(i) * c];
       // PNG stores RGB; Rec.601 luma (cv::cvtColor RGB2GRAY weights).
-      out[i] = 0.299f * p[0] + 0.587f * p[1] + 0.114f * p[2];
+      float g = 0.299f * p[0] + 0.587f * p[1] + 0.114f * p[2];
+      out[i] = uint8_t(g + 0.5f);
     }
-  } else {  // 16-bit gray
+  } else {  // 16-bit gray: keep the high byte (scale, not clip)
     for (int i = 0; i < n; ++i) {
       uint16_t v = (uint16_t(im.data[2 * i]) << 8) | im.data[2 * i + 1];
-      out[i] = float(v >> 8);  // scale to 0..255
+      out[i] = uint8_t(v >> 8);
     }
   }
 }
 
-void to_depth_f32(const Image& im, float factor, float* out) {
+void to_depth_u16(const Image& im, uint16_t* out) {
   const int n = im.width * im.height;
   if (im.bit_depth == 16) {
     for (int i = 0; i < n; ++i) {
-      uint16_t v = (uint16_t(im.data[2 * i]) << 8) | im.data[2 * i + 1];
-      out[i] = float(v) / factor;
+      out[i] = (uint16_t(im.data[2 * i]) << 8) | im.data[2 * i + 1];
     }
   } else {
-    for (int i = 0; i < n; ++i) out[i] = float(im.data[i]) / factor;
+    for (int i = 0; i < n; ++i) out[i] = im.data[i];
   }
 }
 
 struct Frame {
   double timestamp = 0;
-  std::vector<float> gray, depth;
+  std::vector<uint8_t> gray;
+  std::vector<uint16_t> depth;
   int width = 0, height = 0;
   bool ok = false;
 };
 
 struct Loader {
   std::string dir;
-  float depth_factor = 5000.0f;
+  float depth_factor = 5000.0f;  // retained for API compat; depth ships raw
   int lookahead = 4;
   std::vector<double> timestamps;
   std::vector<std::string> rgb_paths, depth_paths;
@@ -204,8 +208,8 @@ struct Loader {
         fr.height = rgb.height;
         fr.gray.resize(size_t(rgb.width) * rgb.height);
         fr.depth.resize(size_t(dep.width) * dep.height);
-        to_gray_f32(rgb, fr.gray.data());
-        to_depth_f32(dep, depth_factor, fr.depth.data());
+        to_gray_u8(rgb, fr.gray.data());
+        to_depth_u16(dep, fr.depth.data());
       }
       {
         std::lock_guard<std::mutex> lk(mu);
@@ -252,10 +256,10 @@ int tum_loader_size(void* handle) {
   return int(static_cast<Loader*>(handle)->timestamps.size());
 }
 
-// Fills gray/depth (width*height floats each). Returns 1 on success,
-// 0 at end of sequence or decode failure.
-int tum_loader_next(void* handle, double* timestamp, float* gray,
-                    float* depth, int* width, int* height) {
+// Fills gray (uint8) / depth (raw uint16), width*height each.
+// Returns 1 on success, 0 at end of sequence or decode failure.
+int tum_loader_next(void* handle, double* timestamp, uint8_t* gray,
+                    uint16_t* depth, int* width, int* height) {
   auto* L = static_cast<Loader*>(handle);
   Frame fr;
   {
@@ -275,8 +279,8 @@ int tum_loader_next(void* handle, double* timestamp, float* gray,
   *timestamp = fr.timestamp;
   *width = fr.width;
   *height = fr.height;
-  std::memcpy(gray, fr.gray.data(), fr.gray.size() * sizeof(float));
-  std::memcpy(depth, fr.depth.data(), fr.depth.size() * sizeof(float));
+  std::memcpy(gray, fr.gray.data(), fr.gray.size());
+  std::memcpy(depth, fr.depth.data(), fr.depth.size() * sizeof(uint16_t));
   return 1;
 }
 
@@ -290,23 +294,23 @@ void tum_loader_close(void* handle) {
 }
 
 // Standalone single-image decode helpers (KITTI loaders reuse these).
-int decode_png_gray_f32(const char* path, float* out, int max_pixels,
-                        int* width, int* height) {
+int decode_png_gray_u8(const char* path, uint8_t* out, int max_pixels,
+                       int* width, int* height) {
   Image im;
   if (!decode_png(path, im)) return 0;
   if (im.width * im.height > max_pixels) return 0;
-  to_gray_f32(im, out);
+  to_gray_u8(im, out);
   *width = im.width;
   *height = im.height;
   return 1;
 }
 
-int decode_png_depth_f32(const char* path, float factor, float* out,
-                         int max_pixels, int* width, int* height) {
+int decode_png_depth_u16(const char* path, uint16_t* out, int max_pixels,
+                         int* width, int* height) {
   Image im;
   if (!decode_png(path, im)) return 0;
   if (im.width * im.height > max_pixels) return 0;
-  to_depth_f32(im, factor, out);
+  to_depth_u16(im, out);
   *width = im.width;
   *height = im.height;
   return 1;

@@ -35,8 +35,8 @@ def _load_lib() -> Optional[ctypes.CDLL]:
     lib.tum_loader_next.argtypes = [
         ctypes.c_void_p,
         ctypes.POINTER(ctypes.c_double),
-        ctypes.POINTER(ctypes.c_float),
-        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint16),
         ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int),
     ]
@@ -72,7 +72,10 @@ def build_native(quiet: bool = True) -> bool:
 
 
 class NativeTumLoader:
-    """Streaming (timestamp, gray, depth) frames with C++ prefetch."""
+    """Streaming (timestamp, gray, depth) frames with C++ prefetch.
+
+    Same sensor-native contract as ``TumRgbdDataset``: uint8 grayscale
+    and RAW uint16 depth (the device applies 1/DepthMapFactor)."""
 
     def __init__(
         self,
@@ -108,15 +111,15 @@ class NativeTumLoader:
             yield f
 
     def next(self) -> Optional[Tuple[float, np.ndarray, np.ndarray]]:
-        gray = np.empty((self.height, self.width), np.float32)
-        depth = np.empty((self.height, self.width), np.float32)
+        gray = np.empty((self.height, self.width), np.uint8)
+        depth = np.empty((self.height, self.width), np.uint16)
         ts = ctypes.c_double()
         w = ctypes.c_int()
         h = ctypes.c_int()
         ok = _lib.tum_loader_next(
             self._h, ctypes.byref(ts),
-            gray.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            depth.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            gray.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            depth.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
             ctypes.byref(w), ctypes.byref(h),
         )
         if not ok:

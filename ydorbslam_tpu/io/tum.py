@@ -60,8 +60,10 @@ def load_image_gray(path: str, is_rgb_order: bool = False) -> np.ndarray:
 
     img = Image.open(path)
     if img.mode in ("I;16", "I"):
+        # Scale 16-bit gray to 8-bit (keep high byte) — clipping would
+        # saturate genuine 16-bit input to near-white.
         a = np.asarray(img)
-        return np.clip(a, 0, 255).astype(np.uint8)
+        return (np.clip(a, 0, 65535).astype(np.uint16) >> 8).astype(np.uint8)
     if img.mode != "L":
         img = img.convert("L")
     return np.asarray(img, dtype=np.uint8)

@@ -154,20 +154,32 @@ def brief_from_patches(patches: jax.Array, angles: jax.Array) -> jax.Array:
     docstring).  Packing is little-endian into 8 uint32 lanes.
     """
     K = patches.shape[0]
-    D = jnp.asarray(_binned_diff_tensor())  # (32,256,1521) f32
-    flat = patches.reshape(K, BRIEF_P * BRIEF_P).astype(jnp.float32)
+    # INT8 MXU path: D is a {-1, 0, +1} selection tensor and the blurred
+    # patch is quantized to the reference's own uint8 blur output
+    # (cv::GaussianBlur on CV_8U rounds to integer intensities,
+    # src/orbExtractor.cpp:386); (patch-128) fits int8 exactly, so the
+    # comparison d = I(p1) - I(p2) is EXACT integer arithmetic in an
+    # int8 x int8 -> int32 matmul — no bf16 near-tie bit flips, and
+    # ~4x less HBM traffic + one MXU pass instead of the f32 bf16x3
+    # formulation this replaces.
+    D8 = jnp.asarray(_binned_diff_tensor().astype(np.int8))  # (32,256,1521)
+    flat8 = (
+        jnp.clip(jnp.round(patches.reshape(K, BRIEF_P * BRIEF_P)), 0, 255)
+        .astype(jnp.int32) - 128
+    ).astype(jnp.int8)
     bins = jnp.round(angles / (2.0 * np.pi / N_ANGLE_BINS)).astype(jnp.int32)
     bins = bins % N_ANGLE_BINS
-    onehot = jax.nn.one_hot(bins, N_ANGLE_BINS, dtype=jnp.float32)  # (K,32)
+    onehot = jax.nn.one_hot(bins, N_ANGLE_BINS, dtype=jnp.int8)  # (K,32)
     # (32,K,256): every bin's comparison for every keypoint — 32x
-    # redundant FLOPs, but it is one big MXU matmul instead of a
-    # per-keypoint gather, which is the fast trade on TPU.  bf16x3
-    # (HIGH) keeps near-tie comparisons exact enough that descriptor
-    # bits are stable — plain bf16 flips low-contrast bits.
+    # redundant MACs, but int8 MXU throughput makes this cheaper than
+    # any gather formulation on TPU (take_along_axis lowers to a
+    # sequential gather, measured ~9 ms for the same selection).
     diffs = jnp.einsum(
-        "kp,bsp->bks", flat, D, precision=lax.Precision.HIGH
-    ).astype(jnp.float32)
-    d = jnp.einsum("bks,kb->ks", diffs, onehot)  # (K,256)
+        "kp,bsp->bks", flat8, D8, preferred_element_type=jnp.int32
+    )
+    d = jnp.einsum(
+        "bks,kb->ks", diffs, onehot, preferred_element_type=jnp.int32
+    )  # (K,256)
     bits = (d < 0).astype(jnp.uint32)
     lanes = bits.reshape(K, 8, 32)
     shifts = jnp.arange(32, dtype=jnp.uint32)

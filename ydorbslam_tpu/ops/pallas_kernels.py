@@ -412,3 +412,167 @@ def masked_best2_levels_pallas(
         (iw.reshape(M), bw.reshape(M), sw.reshape(M)),
         (i_n.reshape(M), bn.reshape(M), sn.reshape(M)),
     )
+
+
+# ---------------------------------------------------------------------
+# Projection-gated best/second search with IN-KERNEL gating.
+#
+# Feeding masked_best2_pallas a precomputed (M, N) pair mask moves the
+# bottleneck from the distance matrix to the mask build: XLA
+# materializes ~(M, N) x 4 B of window/octave comparison intermediates
+# in HBM — measured as expensive as the distances it replaced.  This
+# kernel instead receives O(M)+O(N) attribute vectors (packed as
+# (·, 8) f32 rows so Mosaic sees aligned 2-D tiles) and evaluates the
+# reference's gates — projection window (frame.cpp:337-361), octave
+# range, stereo right-x coherence (orbMatcher.cpp:101-110), validity —
+# on-chip per (TILE_M, TILE_N) tile.  TWO window radii are resolved
+# from one XOR+popcount pass (the motion matcher's narrow/wide retry,
+# tracking.cpp:450-460); single-radius callers pass the same radius
+# twice.
+# ---------------------------------------------------------------------
+
+# a_attr lanes: [u, v, ur_pred, rad_narrow, rad_wide, oct_lo, oct_hi, valid]
+A_U, A_V, A_UR, A_RN, A_RW, A_OLO, A_OHI, A_VALID = range(8)
+# b_attr lanes: [u, v, right_u, octave, valid, 0, 0, 0]
+B_U, B_V, B_UR, B_OCT, B_VALID = range(5)
+
+
+def _proj_best2_kernel(
+    a_desc_ref, a_attr_ref, b_desc_ref, b_attr_ref,
+    bn_ref, sn_ref, in_ref, bw_ref, sw_ref, iw_ref,
+    *, check_ur: bool,
+):
+    """Grid step (i, j): merge tile (i, j)'s gated best/second into the
+    row-block outputs.  The j axis replaces an in-kernel chunk loop —
+    Mosaic unrolls fori_loops over VMEM-resident operands, which blows
+    the 16M scoped-vmem limit at N=1024; grid revisiting keeps exactly
+    one (TILE_M, TILE_N) working set alive while the output blocks
+    (indexed by i only) stay resident across the j sweep."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        big = jnp.full((TILE_M,), 10_000, jnp.int32)
+        bn_ref[i, :] = big
+        sn_ref[i, :] = big
+        bw_ref[i, :] = big
+        sw_ref[i, :] = big
+        neg = jnp.full((TILE_M,), -1, jnp.int32)
+        in_ref[i, :] = neg
+        iw_ref[i, :] = neg
+
+    # a-side: (TILE_M, 8) natural layout — column extracts are sublane
+    # vectors, lane-broadcast free.  b-side arrives TRANSPOSED (8, N):
+    # row extracts are lane vectors, sublane-broadcast free.  Extracting
+    # b columns from an (N, 8) layout instead forces Mosaic through
+    # per-word transpose buffers — measured as a ~50M scoped-vmem stack
+    # allocation that OOMs the 16M limit.
+    a = a_desc_ref[:]          # (TILE_M, 8) u32
+    at = a_attr_ref[:]         # (TILE_M, 8) f32
+    au = at[:, A_U][:, None]
+    av = at[:, A_V][:, None]
+    aur = at[:, A_UR][:, None]
+    rn = at[:, A_RN][:, None]
+    rw = at[:, A_RW][:, None]
+    alo = at[:, A_OLO][:, None]
+    ahi = at[:, A_OHI][:, None]
+    aval = at[:, A_VALID][:, None] > 0.5
+    bt = b_attr_ref[:]         # (8, TILE_N) f32
+    bu = bt[B_U, :][None, :]
+    bv = bt[B_V, :][None, :]
+    bur = bt[B_UR, :][None, :]
+    boct = bt[B_OCT, :][None, :]
+    bval = bt[B_VALID, :][None, :] > 0.5
+
+    du = jnp.abs(bu - au)
+    dv = jnp.abs(bv - av)
+    base = aval & bval & (boct >= alo) & (boct <= ahi)
+    if check_ur:
+        dur = jnp.abs(bur - aur)
+        no_r = bur < 0  # (~has_r | cond) — Mosaic rejects bool where()
+        win_n = (du <= rn) & (dv <= rn) & (no_r | (dur <= rn))
+        win_w = (du <= rw) & (dv <= rw) & (no_r | (dur <= rw))
+    else:
+        win_n = (du <= rn) & (dv <= rn)
+        win_w = (du <= rw) & (dv <= rw)
+
+    # Word-wise accumulation: one (TM, TN) tile per descriptor word
+    # instead of a (TM, TN, 8) intermediate — flat VMEM footprint.
+    bd = b_desc_ref[:]         # (8, TILE_N) u32
+    d0 = jnp.zeros((TILE_M, TILE_N), jnp.int32)
+    for w in range(8):
+        x = jnp.bitwise_xor(a[:, w][:, None], bd[w, :][None, :])
+        d0 = d0 + jax.lax.population_count(x).astype(jnp.int32)
+
+    def upd(d, best_ref, second_ref, idx_ref):
+        # Mosaic index-reductions are float32-only; d <= 256 exact.
+        df = d.astype(jnp.float32)
+        arg_local = jnp.argmin(df, axis=1).astype(jnp.int32)
+        tile_min = jnp.min(df, axis=1).astype(jnp.int32)
+        cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        d2 = jnp.where(cols == arg_local[:, None], 10_000, d)
+        tile_second = jnp.min(d2.astype(jnp.float32), axis=1).astype(jnp.int32)
+        tile_arg = arg_local + j * TILE_N
+        best = best_ref[i, :]
+        second = second_ref[i, :]
+        idx = idx_ref[i, :]
+        best_ref[i, :] = jnp.minimum(best, tile_min)
+        idx_ref[i, :] = jnp.where(tile_min < best, tile_arg, idx)
+        loser = jnp.where(tile_min < best, best, tile_min)
+        second_ref[i, :] = jnp.minimum(jnp.minimum(second, loser), tile_second)
+
+    upd(jnp.where(base & win_n, d0, 10_000), bn_ref, sn_ref, in_ref)
+    upd(jnp.where(base & win_w, d0, 10_000), bw_ref, sw_ref, iw_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("check_ur",))
+def proj_best2_pallas(
+    desc_a: jax.Array, attr_a: jax.Array,
+    desc_b: jax.Array, attr_b: jax.Array,
+    check_ur: bool = False,
+):
+    """Projection-window best/second search, gating computed on-chip.
+
+    attr_a (M, 8) f32: [u, v, ur_pred, rad_narrow, rad_wide, oct_lo,
+    oct_hi, valid]; attr_b (N, 8) f32: [u, v, right_u, octave, valid,
+    0, 0, 0].  Returns ((idx_n, b1_n, b2_n), (idx_w, b1_w, b2_w)) —
+    per-source best/second candidate index+distances under the narrow
+    and wide radii.  idx = -1 when a row has no gated candidate.
+    """
+    M, N = desc_a.shape[0], desc_b.shape[0]
+    assert M % TILE_M == 0 and N % TILE_N == 0, (M, N)
+    G = M // TILE_M
+    NC = N // TILE_N
+    out = pl.pallas_call(
+        functools.partial(_proj_best2_kernel, check_ur=check_ur),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((G, TILE_M), jnp.int32) for _ in range(6)
+        ),
+        grid_spec=pl.GridSpec(
+            grid=(G, NC),
+            in_specs=[
+                pl.BlockSpec((TILE_M, 8), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE_M, 8), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, TILE_N), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, TILE_N), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=tuple(
+                # Whole-array blocks (always a legal tiling); each grid
+                # step writes its own row i, revisited across j.
+                pl.BlockSpec((G, TILE_M), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM)
+                for _ in range(6)
+            ),
+        ),
+        interpret=_use_interpret(),
+    )(desc_a, attr_a, desc_b.T, attr_b.T)
+    bn, sn, i_n, bw, sw, iw = out
+    return (
+        (i_n.reshape(M), bn.reshape(M), sn.reshape(M)),
+        (iw.reshape(M), bw.reshape(M), sw.reshape(M)),
+    )

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry.camera import CameraIntrinsics
-from ..geometry.se3 import se3_exp
+from ..geometry.se3 import orthonormalize_T, se3_exp
 from .residuals import huber_cost, huber_scale
 
 CHI2_MONO = 5.991
@@ -127,6 +127,42 @@ def _classify_flat(cam, T, obs: PoseObservations, delta2):
     return obs.valid & (chi2 <= delta2) & (pr["zr"] > 1e-3)
 
 
+def _solve_spd6(A, b):
+    """6x6 SPD solve as UNROLLED scalar Cholesky.
+
+    ``jnp.linalg.solve`` lowers the 6x6 LU to a pivoting while-loop —
+    at 80 solves per pose optimization the loop overhead dominates the
+    whole LM.  H is SPD by construction (normal equations + positive
+    damping), so LL^T with straight-line scalar arithmetic is exact and
+    fuses into a handful of XLA ops."""
+    a = [[A[i, j] for j in range(6)] for i in range(6)]
+    L = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        s = a[i][i]
+        for k in range(i):
+            s = s - L[i][k] * L[i][k]
+        L[i][i] = jnp.sqrt(jnp.maximum(s, 1e-12))
+        inv_d = 1.0 / L[i][i]
+        for j in range(i + 1, 6):
+            s2 = a[j][i]
+            for k in range(i):
+                s2 = s2 - L[j][k] * L[i][k]
+            L[j][i] = s2 * inv_d
+    y = [None] * 6
+    for i in range(6):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * 6
+    for i in range(5, -1, -1):
+        s = y[i]
+        for k in range(i + 1, 6):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
 def _lm_refine(cam, T0, obs: PoseObservations, active, iters, use_huber, delta2):
     """LM loop with adaptive damping, fixed iteration count.
 
@@ -137,7 +173,7 @@ def _lm_refine(cam, T0, obs: PoseObservations, active, iters, use_huber, delta2)
     def body(_, state):
         T, H, b, lam, cost = state
         damped = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6)
-        dx = -jnp.linalg.solve(damped, b)
+        dx = -_solve_spd6(damped, b)
         T_new = se3_exp(dx) @ T
         H_new, b_new, cost_new = _normal_equations_flat(
             cam, T_new, obs, active, use_huber, delta2
@@ -153,10 +189,17 @@ def _lm_refine(cam, T0, obs: PoseObservations, active, iters, use_huber, delta2)
     H0, b0, cost0 = _normal_equations_flat(
         cam, T0, obs, active, use_huber, delta2
     )
-    T, _, _, _, _ = jax.lax.fori_loop(
-        0, iters, body, (T0, H0, b0, jnp.float32(1e-3), cost0)
-    )
-    return T
+    # UNROLLED, not lax.fori_loop: each iteration is ~50 elementwise ops
+    # on (N,) = one-vreg arrays plus a 6x6 solve — pure op-sequencing
+    # overhead.  A TPU while loop synchronizes every iteration; measured
+    # 60x slower than straight-line code for the same math (the XLA
+    # scheduler overlaps/fuses across unrolled iterations).  Compile
+    # time grows (80 inlined iterations per pose solve) but precompile
+    # absorbs it.
+    state = (T0, H0, b0, jnp.float32(1e-3), cost0)
+    for k in range(iters):
+        state = body(k, state)
+    return state[0]
 
 
 @functools.partial(jax.jit, static_argnames=("episodes", "iters_per_episode"))
@@ -183,4 +226,7 @@ def optimize_pose(
         )
         # Re-classify ALL valid observations by raw chi2 at the new pose.
         inlier = _classify_flat(cam, T, obs, delta2)
-    return T, inlier, jnp.sum(inlier)
+    # Keep the returned pose exactly rigid: downstream chains it through
+    # the velocity feedback loop, where correlated f32 drift compounds
+    # multiplicatively (see geometry.se3.orthonormalize_T).
+    return orthonormalize_T(T), inlier, jnp.sum(inlier)

@@ -34,6 +34,61 @@ TH_HIGH = 100
 TH_LOW = 50
 
 
+def _use_pallas_matchers() -> bool:
+    """Pallas matcher kernels on real TPU; XLA dense formulation
+    elsewhere (CPU tests, interpret mode is too slow for full runs)."""
+    return jax.default_backend() == "tpu"
+
+
+def _pack_src_attr(u, v, ur, rad_narrow, rad_wide, oct_lo, oct_hi, valid):
+    """Row-side attribute pack for ops.pallas_kernels.proj_best2_pallas."""
+    f = jnp.float32
+    return jnp.stack(
+        [
+            u.astype(f), v.astype(f), ur.astype(f),
+            rad_narrow.astype(f), rad_wide.astype(f),
+            oct_lo.astype(f), oct_hi.astype(f),
+            valid.astype(f),
+        ],
+        axis=-1,
+    )
+
+
+def _pack_cur_attr(curr: FrameFeatures):
+    """Column-side attribute pack (current-frame keypoints)."""
+    f = jnp.float32
+    z = jnp.zeros_like(curr.angle)
+    return jnp.stack(
+        [
+            curr.uv[:, 0].astype(f), curr.uv[:, 1].astype(f),
+            curr.right_u.astype(f), curr.octave.astype(f),
+            curr.valid.astype(f), z, z, z,
+        ],
+        axis=-1,
+    )
+
+
+def _resolve_columns(idx, dist, row_ok, n_cols: int):
+    """Per-column unique assignment from per-row best candidates.
+
+    Same semantics as ``resolve_unique`` (smallest distance wins a
+    contested keypoint, ties to the smaller row index) but from the
+    kernel's per-row (idx, dist) vectors instead of an (M, N) matrix.
+    Returns (assign (N,) int32 row index or -1, dist (N,)).
+    """
+    M = idx.shape[0]
+    ok = row_ok & (idx >= 0)
+    big = jnp.int32(INVALID_DIST * 16384)
+    key = jnp.where(ok, dist * M + jnp.arange(M, dtype=jnp.int32), big)
+    col = jnp.where(ok, idx, n_cols)  # out-of-range scatters drop
+    colmin = jnp.full((n_cols,), big, jnp.int32).at[col].min(key)
+    hit = colmin < big
+    return (
+        jnp.where(hit, colmin % M, -1),
+        jnp.where(hit, colmin // M, INVALID_DIST),
+    )
+
+
 class ProjectedSources(NamedTuple):
     """Landmarks projected into the current frame, ready to match."""
 
@@ -169,7 +224,7 @@ def match_motion_model(
     scales = scale_factor ** jnp.arange(n_levels, dtype=jnp.float32)
     proj = project_sources(cam, T_cw_pred, last_landmarks_w, last_lm_valid)
     # Forward/backward decision from relative z translation (baseline units).
-    T_rel = T_cw_pred @ jnp.linalg.inv(T_cw_last)
+    T_rel = T_cw_pred @ inv_T(T_cw_last)
     tz = T_rel[2, 3]
     baseline = cam.bf / cam.fx
     forward = tz > baseline
@@ -219,7 +274,7 @@ def match_motion_model_two(
     """
     scales = scale_factor ** jnp.arange(n_levels, dtype=jnp.float32)
     proj = project_sources(cam, T_cw_pred, last_landmarks_w, last_lm_valid)
-    T_rel = T_cw_pred @ jnp.linalg.inv(T_cw_last)
+    T_rel = T_cw_pred @ inv_T(T_cw_last)
     tz = T_rel[2, 3]
     baseline = cam.bf / cam.fx
     forward = tz > baseline
@@ -229,6 +284,29 @@ def match_motion_model_two(
     oct_hi = jnp.where(forward, n_levels, jnp.where(backward, o, o + 1))
     r_narrow = (th_narrow * scales[last.octave])[:, None]
     r_wide = (th_wide * scales[last.octave])[:, None]
+
+    if _use_pallas_matchers():
+        from ..ops.pallas_kernels import proj_best2_pallas
+
+        attr_a = _pack_src_attr(
+            proj.uv[:, 0], proj.uv[:, 1], proj.ur,
+            r_narrow[:, 0], r_wide[:, 0], oct_lo, oct_hi, proj.valid,
+        )
+        (i_n, bn, _), (i_w, bw, _) = proj_best2_pallas(
+            last.desc, attr_a, curr.desc, _pack_cur_attr(curr), check_ur=True,
+        )
+        N = curr.valid.shape[0]
+
+        def finish_vec(idx, b1):
+            assign, _ = _resolve_columns(idx, b1, b1 <= max_dist, N)
+            matched = assign >= 0
+            ang_src = last.angle[jnp.clip(assign, 0, last.angle.shape[0] - 1)]
+            keep = rotation_histogram_mask(
+                curr.angle, ang_src, matched, n_bins=histo_bins
+            )
+            return jnp.where(keep, assign, -1)
+
+        return finish_vec(i_n, bn), finish_vec(i_w, bw)
 
     du = jnp.abs(curr.uv[None, :, 0] - proj.uv[:, None, 0])
     dv = jnp.abs(curr.uv[None, :, 1] - proj.uv[:, None, 1])
@@ -318,6 +396,20 @@ def match_local_points(
     pred = predict_scale_level(dist, 1.2 * mp_max_dist, n_levels, scale_factor)
     radius = jnp.where(view_cos > 0.998, 2.5, 4.0) * scales[pred] * th
     proj = proj._replace(valid=frustum_ok)
+    if _use_pallas_matchers():
+        from ..ops.pallas_kernels import proj_best2_pallas
+
+        attr_a = _pack_src_attr(
+            proj.uv[:, 0], proj.uv[:, 1], proj.ur, radius, radius,
+            pred - 1, pred, proj.valid,
+        )
+        (idx, b1, b2), _ = proj_best2_pallas(
+            mp_desc, attr_a, curr.desc, _pack_cur_attr(curr), check_ur=False,
+        )
+        row_ok = (b1 <= max_dist) & (
+            b1.astype(jnp.float32) < ratio * b2.astype(jnp.float32)
+        )
+        return _resolve_columns(idx, b1, row_ok, curr.valid.shape[0])
     return search_by_projection(
         curr, mp_desc, proj, radius, pred - 1, pred,
         max_dist=max_dist, ratio=ratio,
@@ -346,6 +438,36 @@ def match_dense(
 
     Returns (assign (B,) index into a per b-keypoint or -1, dist (B,)).
     """
+    if _use_pallas_matchers():
+        from ..ops.pallas_kernels import proj_best2_pallas
+
+        f = jnp.float32
+        M, B = desc_a.shape[0], desc_b.shape[0]
+        za, zb = jnp.zeros((M,), f), jnp.zeros((B,), f)
+        wide = jnp.full((M,), 1e9, f)
+        attr_a = _pack_src_attr(
+            za, za, za, wide, wide,
+            jnp.full((M,), -1.0, f), jnp.full((M,), 1e9, f), valid_a,
+        )
+        attr_b = jnp.stack(
+            [zb, zb, zb - 1.0, zb, valid_b.astype(f), zb, zb, zb], axis=-1
+        )
+        (idx, b1, b2), _ = proj_best2_pallas(
+            desc_a, attr_a, desc_b, attr_b, check_ur=False,
+        )
+        b2c = jnp.minimum(b2, 256)
+        row_ok = (b1 <= max_dist) & (
+            b1.astype(f) < ratio * b2c.astype(f)
+        )
+        assign, dist = _resolve_columns(idx, b1, row_ok, B)
+        matched = assign >= 0
+        ang_a = angle_a[jnp.clip(assign, 0, angle_a.shape[0] - 1)]
+        keep = jnp.where(
+            use_rotation,
+            rotation_histogram_mask(angle_b, ang_a, matched),
+            matched,
+        )
+        return jnp.where(keep, assign, -1), dist
     d = masked_distance_matrix(desc_a, desc_b, valid_a, valid_b)
     vals, _ = jax.lax.top_k(-d, 2)
     b1, b2 = -vals[:, 0], -vals[:, 1]

@@ -372,7 +372,7 @@ def _track_core(
     ).astype(jnp.int32)
     velocity = jnp.where(
         track_ok & (state.mode == MODE_OK),
-        T_new @ jnp.linalg.inv(state.T_cw),
+        T_new @ inv_T(state.T_cw),
         jnp.where(can_init, jnp.eye(4), state.velocity),
     )
 

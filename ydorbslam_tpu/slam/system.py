@@ -470,6 +470,27 @@ class SlamSystem:
         self._pipe_frames_since_kf = 0
         self._refresh_trkset()
 
+    @property
+    def _effective_lag(self) -> int:
+        """Per-frame drain while the map bootstraps, full lag afterwards.
+
+        Frames dispatched between map initialization and the first
+        tracking-set refresh would otherwise track motion-only against a
+        stale empty set; each keyframe inserted from them re-seeds the
+        SAME landmarks as unlinked duplicates, and duplicated points then
+        kill the best/second-best ratio test in local matching (two
+        near-identical candidates -> ratio ~1 -> no match) until
+        tracking collapses.  The reference never hits this because its
+        mapping hook is synchronous (tracking.cpp:839).  Drain every
+        frame until the map initializes, then at short lag until a few
+        properly-associated keyframes exist; the steady state then runs
+        at full lag."""
+        if self.n_keyframes == 0:
+            return 1
+        if self.n_keyframes < 4:
+            return min(3, self._pipe_lag)
+        return self._pipe_lag
+
     def _refresh_trkset(self):
         from .pipeline import TrackSet
 
@@ -525,7 +546,7 @@ class SlamSystem:
         )
         self._pending.append((timestamp, self.frame_id))
         self.frame_id += 1
-        if len(self._pending) >= self._pipe_lag:
+        if len(self._pending) >= self._effective_lag:
             self._drain_batch()
 
     def track_stereo_pipelined(self, timestamp, gray_l, gray_r) -> None:
@@ -553,7 +574,7 @@ class SlamSystem:
         )
         self._pending.append((timestamp, self.frame_id))
         self.frame_id += 1
-        if len(self._pending) >= self._pipe_lag:
+        if len(self._pending) >= self._effective_lag:
             self._drain_batch()
 
     def flush_pipeline(self):
@@ -579,9 +600,16 @@ class SlamSystem:
         self._pending = []
         self._batch_inserted = False
         self._ba_pending = False
-        for timestamp, fid in batch:
+        for i, (timestamp, fid) in enumerate(batch):
             info = FrameInfo.unpack(ring[fid % RING])
-            self._drain_one(timestamp, info)
+            # Relocalize at most ONCE per batch, from the NEWEST frame:
+            # earlier LOST frames in the batch are history by drain time
+            # (the reference relocalizes the *current* frame,
+            # tracking.cpp:257-259); attempting a synchronous reloc per
+            # stale frame serializes seconds of device round trips.
+            self._drain_one(
+                timestamp, info, allow_reloc=(i == len(batch) - 1)
+            )
         if self._ba_pending:
             self._run_deferred_ba()
         if self._batch_inserted:
@@ -643,7 +671,7 @@ class SlamSystem:
         self._ba_pending = False
         self._stash_snapshot(snap_vec)
 
-    def _drain_one(self, timestamp, info):
+    def _drain_one(self, timestamp, info, allow_reloc: bool = True):
         from .pipeline import MODE_LOST, read_ring
 
         ok = info.ok
@@ -669,7 +697,8 @@ class SlamSystem:
             )
         )
         if mode == MODE_LOST:
-            self._pipelined_relocalize(timestamp, int(info.ring_slot))
+            if allow_reloc:
+                self._pipelined_relocalize(timestamp, int(info.ring_slot))
             return
         if bool(info.need_kf) and ok and not self.localization_only:
             first = self.n_keyframes == 0
