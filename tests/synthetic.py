@@ -89,16 +89,47 @@ def circular_trajectory(n_frames, radius=0.4, z_step=0.01, yaw_amp=0.05):
     return poses
 
 
+def oscillating_trajectory(n_frames, amp=(0.25, 0.18, 0.12), period=40.0,
+                           yaw_amp=0.02):
+    """Bounded sinusoidal handheld-style motion (TUM fr1/xyz-like).
+
+    Unlike ``circular_trajectory`` (which drifts forward forever and so
+    keeps EXPLORING new territory every frame), this stays inside one
+    workspace: after the map covers the viewing volume, keyframe
+    insertion settles to the occasional-refresh cadence real desk
+    sequences produce."""
+    from scipy.spatial.transform import Rotation
+
+    poses = []
+    for i in range(n_frames):
+        ph = 2 * np.pi * i / period
+        c_w = np.array([
+            amp[0] * np.sin(ph),
+            amp[1] * np.sin(0.7 * ph + 1.0),
+            amp[2] * np.sin(0.5 * ph + 2.0),
+        ])
+        yaw = yaw_amp * np.sin(0.9 * ph)
+        R_wc = Rotation.from_euler("y", yaw).as_matrix()
+        T_cw = np.eye(4)
+        T_cw[:3, :3] = R_wc.T
+        T_cw[:3, 3] = -R_wc.T @ c_w
+        poses.append(T_cw)
+    return poses
+
+
 class SyntheticRgbdSequence:
     """Renders (gray, depth) frames of a static dot world with exact GT."""
 
     def __init__(self, rng, n_frames=30, n_landmarks=500, width=640, height=480,
-                 fx=500.0, fy=500.0, cx=320.0, cy=240.0):
+                 fx=500.0, fy=500.0, cx=320.0, cy=240.0, trajectory="circular"):
         self.K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
         self.width, self.height = width, height
         self.landmarks = make_landmarks(rng, n_landmarks)
         self.intensities = rng.uniform(100.0, 250.0, n_landmarks)
-        self.poses = circular_trajectory(n_frames)
+        self.poses = (
+            oscillating_trajectory(n_frames) if trajectory == "xyz"
+            else circular_trajectory(n_frames)
+        )
 
     def __len__(self):
         return len(self.poses)

@@ -87,14 +87,24 @@ def build_pyramid(
     """
     h, w = image.shape
     shapes = pyramid_shapes(h, w, n_levels, scale_factor)
+    # bf16 operands on TPU: uint8 intensities are exactly representable
+    # in bf16 and the bilinear weights round at ~0.4% — within the
+    # reference's own precision envelope (cv::resize rounds every level
+    # to uint8, orbExtractor.cpp:612-617).  One MXU pass instead of the
+    # 3-pass f32 decomposition; accumulation stays f32.
+    mm_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     levels = [image]
     for level in range(1, n_levels):
         ph, pw = shapes[level - 1]
         nh, nw = shapes[level]
-        R = jnp.asarray(_resize_matrix(nh, ph))
-        C = jnp.asarray(_resize_matrix(nw, pw))
-        prev = levels[-1]
-        levels.append(R @ prev @ C.T)
+        R = jnp.asarray(_resize_matrix(nh, ph), dtype=mm_dtype)
+        C = jnp.asarray(_resize_matrix(nw, pw), dtype=mm_dtype)
+        prev = levels[-1].astype(mm_dtype)
+        rows = jax.lax.dot(
+            R, prev, preferred_element_type=jnp.float32
+        ).astype(mm_dtype)
+        nxt = jax.lax.dot(rows, C.T, preferred_element_type=jnp.float32)
+        levels.append(nxt.astype(jnp.float32))
     return tuple(levels)
 
 

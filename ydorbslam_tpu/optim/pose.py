@@ -99,23 +99,24 @@ def _normal_equations_flat(cam, T, obs: PoseObservations, active, use_huber,
     Jv = (zero, -d, -e, -(-d * z + e * y), e * x, -d * x)
     Jr = (-a, zero, -cr, -cr * y, -(a * z - cr * x), a * y)
 
-    def rs(Ai, Bj):
-        return wu_h * (Ju[Ai] * Ju[Bj] + Jv[Ai] * Jv[Bj]) + wr_h * Jr[Ai] * Jr[Bj]
-
-    rrow = (pr["ru"], pr["rv"], pr["rr"])
-    cols = [rs(i, j) for (i, j) in _TRI]
-    cols += [
-        wu_h * (Ju[i] * rrow[0] + Jv[i] * rrow[1]) + wr_h * Jr[i] * rrow[2]
-        for i in range(6)
-    ]
-    red = jnp.sum(jnp.stack(cols, -1), axis=0)  # (27,)
-    Hu = red[:21]
-    b = red[21:27]
-    H = jnp.zeros((6, 6))
-    for k, (i, j) in enumerate(_TRI):
-        H = H.at[i, j].set(Hu[k])
-        if i != j:
-            H = H.at[j, i].set(Hu[k])
+    # Whitened-Jacobian matmul: H = J J^T, b = J r as ONE (6, 3N) x
+    # (3N, ·) MXU contraction instead of 27 separately-stacked (N,)
+    # reductions — the reduction storm dominated the unrolled LM's
+    # per-iteration cost.  sqrt-weighting is algebraically identical to
+    # the weighted products (w * x * y == (sqrt(w) x)(sqrt(w) y)).
+    sw_u = jnp.sqrt(wu_h)
+    sw_r = jnp.sqrt(wr_h)
+    J = jnp.stack(
+        [
+            jnp.concatenate([Ju[i] * sw_u, Jv[i] * sw_u, Jr[i] * sw_r])
+            for i in range(6)
+        ]
+    )  # (6, 3N)
+    r_w = jnp.concatenate(
+        [pr["ru"] * sw_u, pr["rv"] * sw_u, pr["rr"] * sw_r]
+    )  # (3N,)
+    H = jax.lax.dot(J, J.T, precision=jax.lax.Precision.HIGHEST)
+    b = J @ r_w
     return H, b, cost
 
 

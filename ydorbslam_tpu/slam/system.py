@@ -487,7 +487,13 @@ class SlamSystem:
         at full lag."""
         if self.n_keyframes == 0:
             return 1
-        if self.n_keyframes < 4:
+        if self.n_keyframes < 3 and self.frame_id < 24:
+            # Stale-dispatch duplicates only arise while the FIRST few
+            # keyframes are being minted from frames that predate the
+            # tracking set (later keyframes fuse against an
+            # already-populated map, and mapping_prep's fusion pass
+            # merges the remainder).  A sparse scene that simply doesn't
+            # need a 3rd keyframe must not pin the pipeline at short lag.
             return min(3, self._pipe_lag)
         return self._pipe_lag
 
