@@ -58,9 +58,12 @@ def cull_map_points(
     age = current_kf_count - m.mp_first_kf  # in keyframe insertions
     # The reference checks each recent point once at age 2 (>=2 in code,
     # but survivors leave the recent list at age 3 so the test fires
-    # exactly once); points passing it are permanent.
+    # exactly once); points passing it are permanent.  The found-ratio
+    # rule likewise applies only while the point is IN the recent list
+    # (localMapping.cpp:90-108) — survivors become permanent, so a
+    # mature point's ratio dipping under load must not retro-cull it.
     bad = m.mp_valid & (
-        (ratio < found_ratio)
+        ((ratio < found_ratio) & (age <= 3))
         | ((age == 2) & (n_obs <= min_obs))
         | (n_obs == 0)
     )

@@ -352,7 +352,10 @@ def predict_scale_level(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_levels", "scale_factor", "th", "ratio", "max_dist"),
+    static_argnames=(
+        "n_levels", "scale_factor", "th", "ratio", "max_dist",
+        "return_visible",
+    ),
 )
 def match_local_points(
     cam: CameraIntrinsics,
@@ -369,6 +372,7 @@ def match_local_points(
     scale_factor: float = 1.2,
     ratio: float = 0.8,
     max_dist: int = TH_HIGH,
+    return_visible: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Local-map-point -> frame search (track-local-map).
 
@@ -409,11 +413,13 @@ def match_local_points(
         row_ok = (b1 <= max_dist) & (
             b1.astype(jnp.float32) < ratio * b2.astype(jnp.float32)
         )
-        return _resolve_columns(idx, b1, row_ok, curr.valid.shape[0])
-    return search_by_projection(
+        res = _resolve_columns(idx, b1, row_ok, curr.valid.shape[0])
+        return (*res, frustum_ok) if return_visible else res
+    res = search_by_projection(
         curr, mp_desc, proj, radius, pred - 1, pred,
         max_dist=max_dist, ratio=ratio,
     )
+    return (*res, frustum_ok) if return_visible else res
 
 
 @jax.jit

@@ -72,6 +72,12 @@ class TrackState(NamedTuple):
     ring_info: jax.Array  # (RING, INFO_DIM) packed per-frame outcomes
     frame_idx: jax.Array  # scalar i32
     since_reloc: jax.Array  # scalar i32: frames since last relocalization
+    # Found/visible accumulators, indexed by TRACKING-SET ROW (valid
+    # until the host refreshes the set; folded into the map just before
+    # each refresh).  Feeds the 0.25 found-ratio map-point cull
+    # (localMapping.cpp:90-108; increaseVisible tracking.cpp:570-604).
+    vis_acc: jax.Array  # (P,) i32
+    found_acc: jax.Array  # (P,) i32
 
 
 INFO_DIM = 21  # [mode, ok, n_inliers, need_kf, slot, T_cw(16)]
@@ -99,7 +105,7 @@ class FrameInfo(NamedTuple):
         )
 
 
-def empty_track_state(n: int) -> TrackState:
+def empty_track_state(n: int, n_track_pts: int = 8192) -> TrackState:
     from ..ops.extractor import empty_features
 
     ef = empty_features(n)
@@ -117,6 +123,8 @@ def empty_track_state(n: int) -> TrackState:
         ring_info=jnp.zeros((RING, INFO_DIM)),
         frame_idx=jnp.int32(0),
         since_reloc=jnp.int32(1 << 20),
+        vis_acc=jnp.zeros((n_track_pts,), jnp.int32),
+        found_acc=jnp.zeros((n_track_pts,), jnp.int32),
     )
 
 
@@ -304,10 +312,11 @@ def _track_core(
 
     # ---------- local-map tracking ----------
     T_start = jnp.where(frame_ok, T_frame, T_pred)
-    lassign, _ = match_local_points(
+    lassign, _, frustum_ok = match_local_points(
         cam, feats, T_start, trkset.pos, trkset.desc, trkset.normal,
         trkset.dmax, trkset.dmin, trkset.valid,
         th=1.0, n_levels=n_levels, scale_factor=scale_factor,
+        return_visible=True,
     )
     P = trkset.pos.shape[0]
     lsrc = jnp.clip(lassign, 0, P - 1)
@@ -349,6 +358,22 @@ def _track_core(
     mpid = jnp.where(
         trk_populated & linlier & (lassign >= 0), trkset.pts[lsrc], -1
     )
+
+    # ---------- found/visible counters (tracking.cpp:570-604) ----------
+    # Visible: the point entered the local search frustum while tracking
+    # proceeded (searchLocalPoints' increaseVisible); found: it holds a
+    # pose-opt inlier match (increaseFound).  Row-indexed accumulators;
+    # the host folds them into the map before each tracking-set refresh.
+    count_gate = trk_populated & frame_ok
+    vis_rows = (frustum_ok & count_gate).astype(jnp.int32)
+    found_kp = (trk_populated & track_ok & linlier & (lassign >= 0))
+    found_rows = (
+        jnp.zeros_like(state.found_acc)
+        .at[jnp.where(found_kp, lassign, state.found_acc.shape[0])]
+        .add(1, mode="drop")
+    )
+    vis_acc = state.vis_acc + vis_rows
+    found_acc = state.found_acc + jnp.minimum(found_rows, 1)
 
     # ---------- keyframe decision counters (tracking.cpp:762-775) ----------
     close = feats.valid & (feats.depth > 0) & (feats.depth <= depth_threshold)
@@ -428,8 +453,32 @@ def _track_core(
         ring_info=state.ring_info.at[slot].set(info_row),
         frame_idx=state.frame_idx + 1,
         since_reloc=state.since_reloc + 1,
+        vis_acc=vis_acc,
+        found_acc=found_acc,
     )
     return new_state
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def fold_track_counters(m, pts, valid, vis_acc, found_acc):
+    """Add the device accumulators into MapState.mp_visible/mp_found by
+    map-point id (the cull input, localMapping.cpp:90-108).  Called by
+    the host immediately BEFORE a tracking-set refresh — the row->id
+    mapping dies with the refresh."""
+    M = m.mp_found.shape[0]
+    idx = jnp.where(valid & (pts >= 0), pts, M)  # out-of-range drops
+    return m._replace(
+        mp_visible=m.mp_visible.at[idx].add(vis_acc, mode="drop"),
+        mp_found=m.mp_found.at[idx].add(found_acc, mode="drop"),
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def clear_track_counters(state: TrackState) -> TrackState:
+    return state._replace(
+        vis_acc=jnp.zeros_like(state.vis_acc),
+        found_acc=jnp.zeros_like(state.found_acc),
+    )
 
 
 @jax.jit

@@ -213,7 +213,7 @@ class SlamSystem:
             # over the tunnel).
             loc_mode=self.localization_only,
         )
-        st = empty_track_state(cfg.n_keypoints)
+        st = empty_track_state(cfg.n_keypoints, cap.tracking_points)
         img8 = jnp.asarray(np.zeros(shape, np.uint8))
         img16 = jnp.asarray(np.zeros(shape, np.uint16))
         if self.sensor == Sensor.RGBD:
@@ -465,7 +465,10 @@ class SlamSystem:
         from .pipeline import TrackSet, empty_track_state
 
         self._pipe_lag = lag
-        self._dstate = empty_track_state(self.cfg.n_keypoints)
+        self._trkset = None
+        self._dstate = empty_track_state(
+            self.cfg.n_keypoints, self.cfg.capacity.tracking_points
+        )
         self._pending = []
         self._pipe_frames_since_kf = 0
         self._refresh_trkset()
@@ -498,9 +501,20 @@ class SlamSystem:
         return self._pipe_lag
 
     def _refresh_trkset(self):
-        from .pipeline import TrackSet
+        from .pipeline import (TrackSet, clear_track_counters,
+                               fold_track_counters)
 
         cap = self.cfg.capacity.tracking_points
+        # Fold the device found/visible accumulators into the map FIRST:
+        # they are indexed by rows of the OUTGOING tracking set.
+        if getattr(self, "_trkset", None) is not None and getattr(
+            self, "_dstate", None
+        ) is not None:
+            self.map = fold_track_counters(
+                self.map, self._trkset.pts, self._trkset.valid,
+                self._dstate.vis_acc, self._dstate.found_acc,
+            )
+            self._dstate = clear_track_counters(self._dstate)
         pts, pos, desc, normal, dmax, dmin, valid = _select_tracking_set(
             self.map, self.ref_kf, cap,
             self.cfg.tracking.local_window_max_kf,
@@ -602,6 +616,20 @@ class SlamSystem:
             return
         assert len(self._pending) <= RING, "pipeline lag exceeds ring size"
         ring = np.asarray(self._dstate.ring_info)  # ONE small fetch
+        # Fold the found/visible accumulators EVERY batch (not only at
+        # tracking-set refreshes): the 0.25 found-ratio cull checks each
+        # recent point inside a ~3-keyframe age window, and the
+        # reference bumps these counters synchronously every frame
+        # (tracking.cpp:570-604) — folding only at refresh delivered the
+        # counts after the window had already closed.
+        from .pipeline import clear_track_counters, fold_track_counters
+
+        if self._trkset is not None:
+            self.map = fold_track_counters(
+                self.map, self._trkset.pts, self._trkset.valid,
+                self._dstate.vis_acc, self._dstate.found_acc,
+            )
+            self._dstate = clear_track_counters(self._dstate)
         batch = self._pending
         self._pending = []
         self._batch_inserted = False
