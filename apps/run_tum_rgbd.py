@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--groundtruth", default=None)
     ap.add_argument("--no-loop", action="store_true")
     ap.add_argument("--no-mapping", action="store_true")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="use the dispatch-ahead device pipeline (the "
+                         "production TPU path) instead of per-frame sync")
+    ap.add_argument("--lag", type=int, default=16)
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--out-trajectory", default="CameraTrajectory.txt")
     ap.add_argument("--out-kf-trajectory", default="KeyFrameTrajectory.txt")
@@ -50,11 +54,17 @@ def main():
         enable_mapping=not args.no_mapping,
         enable_loop_closing=not args.no_loop,
     )
+    if args.pipelined:
+        system.enable_pipelined(lag=args.lag)
+        system.precompile()
+    track = (
+        system.track_rgbd_pipelined if args.pipelined else system.track_rgbd
+    )
     times = []
     for i in range(n):
         t, gray, depth = ds[i]
         t0 = time.perf_counter()
-        system.track_rgbd(t, gray, depth)
+        track(t, gray, depth)
         times.append(time.perf_counter() - t0)
         if i % 50 == 0:
             print(
