@@ -22,6 +22,12 @@ if __name__ == "__main__":
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    # The axon sitecustomize pre-imports jax with the TPU plugin, so the
+    # env var alone is ignored; the config override wins as long as no
+    # backend op has run yet (same dance as tests/conftest.py).
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 

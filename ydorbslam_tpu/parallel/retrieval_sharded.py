@@ -60,3 +60,41 @@ def sharded_topk_scores(
         check_vma=False,  # outputs are replicated via all_gather+top_k
     )
     return jax.jit(fn)(idx.hist, idx.presence, idx.valid, query_hist)
+
+
+def score_all_sharded(mesh: Mesh, idx: RetrievalIndex, query_hist: jax.Array):
+    """Keyframe-sharded equivalent of ``retrieval.score_all``: each
+    device scores its keyframe block (the (K_shard, N_WORDS) histograms
+    and presence rows stay local; only the query histogram replicates),
+    then the tiny (K,) results all-gather over ICI.
+
+    Bit-exact with score_all — the PRODUCTION loop detector calls this
+    when more than one device is visible, so every downstream gate
+    (min-score, covisibility accumulation, consistency groups) is
+    untouched.  This is the scaled replacement of the reference's
+    single-threaded inverted file (src/keyFrameDatabase.cpp:26-105).
+    """
+    axis = mesh.axis_names[0]
+    K = idx.hist.shape[0]
+    n_dev = mesh.devices.size
+    assert K % n_dev == 0, "keyframe capacity must divide the mesh size"
+
+    def local(hist, presence, valid, q):
+        qp = (q > 0).astype(jnp.float32)
+        common = presence @ qp
+        l1 = jnp.sum(jnp.abs(hist - q[None, :]), axis=-1)
+        score = 1.0 - 0.5 * l1
+        common = jnp.where(valid, common, 0.0)
+        score = jnp.where(valid, score, -1.0)
+        common = jax.lax.all_gather(common, axis, tiled=True)
+        score = jax.lax.all_gather(score, axis, tiled=True)
+        return common, score
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,  # replicated via all_gather
+    )
+    return fn(idx.hist, idx.presence, idx.valid, query_hist)

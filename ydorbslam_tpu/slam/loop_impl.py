@@ -61,8 +61,43 @@ def _detect_on_device(
     q = bow_histogram(
         m.kf_desc[kf_id], m.kf_kp_valid[kf_id], n_banks, bank_bits
     )
-    connected = (m.covis[kf_id] > 0).at[kf_id].set(True)
     _, scores = score_all(retrieval, q)
+    return _detect_body(
+        m, retrieval, kf_id, prev_masks, prev_counts, q, scores,
+        max_out, consistency_th,
+    )
+
+
+def make_sharded_detect(mesh, max_out, consistency_th, n_banks, bank_bits):
+    """Production detection with KEYFRAME-SHARDED retrieval scoring.
+
+    Same program as _detect_on_device except the score pass runs as a
+    shard_map over the mesh (parallel.retrieval_sharded.score_all_sharded
+    — bit-exact with score_all); every gate downstream is shared code.
+    Built per mesh because Mesh objects cannot cross the jit boundary
+    as arguments.
+    """
+    from ..parallel.retrieval_sharded import score_all_sharded
+
+    @jax.jit
+    def detect(m, retrieval, kf_id, prev_masks, prev_counts):
+        q = bow_histogram(
+            m.kf_desc[kf_id], m.kf_kp_valid[kf_id], n_banks, bank_bits
+        )
+        _, scores = score_all_sharded(mesh, retrieval, q)
+        return _detect_body(
+            m, retrieval, kf_id, prev_masks, prev_counts, q, scores,
+            max_out, consistency_th,
+        )
+
+    return detect
+
+
+def _detect_body(
+    m, retrieval, kf_id, prev_masks, prev_counts, q, scores,
+    max_out, consistency_th,
+):
+    connected = (m.covis[kf_id] > 0).at[kf_id].set(True)
     neigh = connected & (jnp.arange(m.K) != kf_id) & retrieval.valid
     min_score = jnp.min(jnp.where(neigh, scores, jnp.inf))
     min_score = jnp.where(jnp.isfinite(min_score), min_score, 0.0)
@@ -87,6 +122,25 @@ class LoopCloserImpl:
         self.system = system
         self.closer = closer
         self.key = jax.random.PRNGKey(0)
+        # Production sharded retrieval: when several devices are
+        # visible, candidate scoring shards the keyframe axis over the
+        # mesh (the scaled replacement of the reference's inverted
+        # file, keyFrameDatabase.cpp:26-105).  Same gates either way.
+        self._sharded_detect = None
+        self.used_sharded_detect = False
+        devs = jax.devices()
+        K = system.cfg.capacity.max_keyframes
+        if len(devs) > 1 and K % len(devs) == 0:
+            from jax.sharding import Mesh
+
+            cfg = system.cfg
+            self._sharded_detect = make_sharded_detect(
+                Mesh(np.array(devs), ("kf",)),
+                cfg.capacity.loop_candidates,
+                cfg.loop.covisibility_consistency_th,
+                cfg.loop.retrieval_banks,
+                cfg.loop.retrieval_bank_bits,
+            )
 
     # ------------------------------------------------------------------
     def process(self, kf_id: int) -> bool:
@@ -124,23 +178,40 @@ class LoopCloserImpl:
                 -jnp.ones((C,), jnp.int32),
             )
         prev_masks, prev_counts = self.closer.consistent_groups
-        ids, consistent, masks, counts = _detect_on_device(
-            m, sys.retrieval, kf_id, prev_masks, prev_counts,
-            C, sys.cfg.loop.covisibility_consistency_th,
-            n_banks=sys.cfg.loop.retrieval_banks,
-            bank_bits=sys.cfg.loop.retrieval_bank_bits,
-        )
+        if self._sharded_detect is not None:
+            ids, consistent, masks, counts = self._sharded_detect(
+                m, sys.retrieval, kf_id, prev_masks, prev_counts
+            )
+            self.used_sharded_detect = True
+        else:
+            ids, consistent, masks, counts = _detect_on_device(
+                m, sys.retrieval, kf_id, prev_masks, prev_counts,
+                C, sys.cfg.loop.covisibility_consistency_th,
+                n_banks=sys.cfg.loop.retrieval_banks,
+                bank_bits=sys.cfg.loop.retrieval_bank_bits,
+            )
         self.closer.consistent_groups = (masks, counts.astype(jnp.int32))
-        self._pending = (kf_id, ids, consistent)
+        snap = sys._snapshot()
+        self._pending = (
+            kf_id, int(snap["kf_frame_id"][kf_id]), ids, consistent,
+        )
 
     def _poll_pending(self) -> bool:
         pending = getattr(self, "_pending", None)
         if pending is None:
             return False
         self._pending = None
-        kf_id, ids, consistent = pending
+        kf_id, frame_id_at_dispatch, ids, consistent = pending
         sys = self.system
         closer = self.closer
+        # Staleness guard: verification runs one keyframe late against a
+        # map that kept evolving — if mapping culled the pending
+        # keyframe (or culled + reused its slot for a different frame),
+        # Sim3 verification would run against another keyframe's data.
+        snap = sys._snapshot()
+        if (not bool(snap["kf_valid"][kf_id])
+                or int(snap["kf_frame_id"][kf_id]) != frame_id_at_dispatch):
+            return False
         ids_np, cons_np = jax.device_get((ids, consistent))
         cands = [int(i) for i, c in zip(ids_np, cons_np) if i >= 0 and c]
         for cand in cands:
