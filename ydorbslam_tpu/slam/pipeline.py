@@ -56,7 +56,11 @@ class TrackSet(NamedTuple):
     dmax: jax.Array  # (P,)
     dmin: jax.Array  # (P,)
     valid: jax.Array  # (P,)
-    ref_tracked: jax.Array  # scalar: reference-KF tracked count (KF rule)
+    # scalar: ref-KF tracked count ALREADY multiplied by the reference
+    # ratio (0.4 when <2 keyframes exist, else 0.75 — tracking.cpp:
+    # 755-760); precomputed at tracking-set refresh so the device step
+    # needs no keyframe-count input.
+    ref_thresh: jax.Array
 
 
 class TrackState(NamedTuple):
@@ -382,9 +386,8 @@ def _track_core(
     need_close = (tracked_close < close_tracked_max) & (
         untracked_close > close_untracked_min
     )
-    ref_ratio = jnp.float32(0.75)
     c2 = (n_loc > 15) & (
-        (n_loc < trkset.ref_tracked * ref_ratio) | need_close
+        (n_loc < trkset.ref_thresh) | need_close
     )
     need_kf = track_ok & c2
 

@@ -105,6 +105,19 @@ def _bump_counters(m: MapState, pts, visible, found):
     return m._replace(mp_visible=vis, mp_found=fnd)
 
 
+def kf_decision_params(n_keyframes: int, kf_ref_ratio: float):
+    """(min_obs, ref_ratio) of the keyframe decision for a map of
+    ``n_keyframes`` — the young-map relaxations of tracking.cpp:749-760
+    (nKFs <= 2 -> minObs 2; nKFs < 2 -> ratio 0.4).  Single source of
+    truth for BOTH the synchronous decision (_need_new_keyframe) and
+    the device path's precomputed threshold (_refresh_trkset)."""
+    if n_keyframes < 2:
+        return 2, 0.4
+    if n_keyframes == 2:
+        return 2, kf_ref_ratio
+    return 3, kf_ref_ratio
+
+
 @dataclasses.dataclass
 class SystemRecord:
     timestamp: float
@@ -519,12 +532,14 @@ class SlamSystem:
             self.map, self.ref_kf, cap,
             self.cfg.tracking.local_window_max_kf,
         )
-        min_obs = 3 if self.n_keyframes > 2 else 2
+        min_obs, ref_ratio = kf_decision_params(
+            self.n_keyframes, self.cfg.tracking.kf_ref_ratio
+        )
         ref_tracked = _count_ref_tracked(self.map, self.ref_kf, min_obs)
         self._trkset = TrackSet(
             pts=pts, pos=pos, desc=desc, normal=normal, dmax=dmax,
             dmin=dmin, valid=valid,
-            ref_tracked=ref_tracked.astype(jnp.float32),
+            ref_thresh=ref_tracked.astype(jnp.float32) * ref_ratio,
         )
 
     def track_rgbd_pipelined(self, timestamp, gray, depth) -> None:
@@ -878,7 +893,14 @@ class SlamSystem:
             iters_per_episode=cfg.optim.pose_iters_per_episode,
         )
         n_in = int(n_in)
-        threshold = cfg.tracking.min_matches_local_map
+        # Stricter gate within 1 s of a relocalization
+        # (tracking.cpp:630-636: 50 instead of 30 local-map inliers) —
+        # parity with the device path's since_reloc handling.
+        threshold = (
+            cfg.tracking.min_matches_after_reloc
+            if tracker.frames_since_reloc < max(1, int(cfg.camera.fps))
+            else cfg.tracking.min_matches_local_map
+        )
         if n_in < threshold:
             if self.localization_only and self.n_keyframes > 0:
                 # Visual-odometry mode (tracking.cpp:407-441 +
@@ -1074,12 +1096,9 @@ class SlamSystem:
             return True
         if self.localization_only:
             return False
-        if self.n_keyframes < 2:
-            min_obs, ref_ratio = 2, 0.4
-        elif self.n_keyframes == 2:
-            min_obs, ref_ratio = 2, cfg.tracking.kf_ref_ratio
-        else:
-            min_obs, ref_ratio = 3, cfg.tracking.kf_ref_ratio
+        min_obs, ref_ratio = kf_decision_params(
+            self.n_keyframes, cfg.tracking.kf_ref_ratio
+        )
         ref_tracked = int(_count_ref_tracked(self.map, self.ref_kf, min_obs))
         # close-point bookkeeping (tracking.cpp:762-775)
         depth = np.asarray(feats.depth)

@@ -110,6 +110,10 @@ class Tracker:
         self.reloc_hook = None  # set by System: BoW + PnP relocalization
         self.pending_landmarks = None  # (p_w, valid) supplied by the hook
         self.n_inliers = 0
+        # Frames since the last successful relocalization: within 1 s
+        # (= fps frames) the local-map gate tightens to 50 inliers
+        # (tracking.cpp:630-636).
+        self.frames_since_reloc = 1 << 20
 
     # -- per-sensor frame ingestion ------------------------------------
     def _extract(self, gray: np.ndarray) -> FrameFeatures:
@@ -184,9 +188,12 @@ class Tracker:
             if not self._initialize(timestamp, feats):
                 lost = True
         else:
+            self.frames_since_reloc += 1
             if self.state == TrackingState.LOST and self.reloc_hook is not None:
                 # LOST -> BoW relocalization only (tracking.cpp:257-259).
                 ok = self.reloc_hook(self, timestamp, feats)
+                if ok:
+                    self.frames_since_reloc = 0
             else:
                 T_pred = self.velocity @ self.T_cw
                 ok = self._track_motion(feats, T_pred)
