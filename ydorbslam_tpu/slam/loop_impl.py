@@ -40,6 +40,112 @@ from .triangulate import _fuse_into_kf
 import functools
 
 
+def _fetch(x):
+    """THE device->host fetch gate of loop verification/correction.
+
+    Every host pull in the verify/correct path routes through here so
+    the budget is enforceable: tests/test_loop_fetch_budget.py blocks
+    direct array exports and asserts <= 2 _fetch calls per loop event
+    (one packed verification vector, one correction bundle)."""
+    return jax.device_get(x)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "th_low", "ratio", "n_hypotheses", "min_inliers", "sim3_iters",
+        "scale_factor", "n_levels", "guided_cap",
+    ),
+)
+def _verify_pack(
+    m: MapState, kf1, kf2, key, cam,
+    th_low: int, ratio: float, n_hypotheses: int, min_inliers: int,
+    sim3_iters: int, scale_factor: float, n_levels: int, guided_cap: int,
+):
+    """Fused geometric verification (loopClosing.cpp:115-228): dense
+    appearance match -> Horn RANSAC -> Sim3 refinement -> guided
+    projection count, ONE program, one (20,) packed result:
+    [n_matches, ransac_ok, n_sim3_inliers, n_guided_total, S_ref(16)].
+    """
+    from ..ops.extractor import FrameFeatures
+
+    # 1. appearance match restricted to keypoints WITH map points
+    has1 = m.kf_kp_valid[kf1] & (m.kf_mp[kf1] >= 0)
+    has2 = m.kf_kp_valid[kf2] & (m.kf_mp[kf2] >= 0)
+    assign, _ = match_dense(
+        m.kf_desc[kf1], has1, m.kf_angle[kf1],
+        m.kf_desc[kf2], has2, m.kf_angle[kf2],
+        max_dist=th_low, ratio=ratio,
+    )  # per kf2-keypoint -> kf1-keypoint
+    n_matches = jnp.sum(assign >= 0)
+    kp2 = jnp.arange(m.N)
+    kp1 = jnp.clip(assign, 0, m.N - 1)
+    ok = assign >= 0
+    mp1 = m.kf_mp[kf1, kp1]
+    mp2 = m.kf_mp[kf2, kp2]
+    ok &= (mp1 >= 0) & (mp2 >= 0)
+    ok &= m.mp_valid[jnp.clip(mp1, 0, m.M - 1)]
+    ok &= m.mp_valid[jnp.clip(mp2, 0, m.M - 1)]
+    T1, T2 = m.kf_pose[kf1], m.kf_pose[kf2]
+    p1 = m.mp_pos[jnp.clip(mp1, 0, m.M - 1)] @ T1[:3, :3].T + T1[:3, 3]
+    p2 = m.mp_pos[jnp.clip(mp2, 0, m.M - 1)] @ T2[:3, :3].T + T2[:3, 3]
+    sf2 = (scale_factor ** jnp.arange(n_levels, dtype=jnp.float32)) ** 2
+    s2_1 = sf2[m.kf_octave[kf1, kp1]]
+    s2_2 = sf2[m.kf_octave[kf2, kp2]]
+    # 2. Horn RANSAC (scale fixed: stereo/RGB-D, loopClosing.cpp:132)
+    res = ransac_sim3(
+        key, cam, p1, p2, s2_1, s2_2, ok,
+        n_hypotheses=n_hypotheses, min_inliers=min_inliers,
+    )
+    # 3. Sim3 refinement on inlier observations (optimizeSim3)
+    S_ref, inl, n_in = optimize_sim3(
+        cam, res.S_12, p1, p2, m.kf_uv[kf1, kp1], m.kf_uv[kf2, kp2],
+        1.0 / s2_1, 1.0 / s2_2, res.inliers,
+        iters1=sim3_iters, iters2=10,
+    )
+    # 4. guided projection against the loop group's points
+    # (searchByProjectionInSim, loopClosing.cpp:196-227): group = kf2 +
+    # its 10 strongest covisibles; member points via scatter mask.
+    w = m.covis[kf2] * m.kf_valid.astype(jnp.int32)
+    nvals, nids = jax.lax.top_k(w, 10)
+    gsel = jnp.zeros((m.K,), bool).at[
+        jnp.where(nvals > 0, nids, m.K)
+    ].set(nvals > 0, mode="drop").at[kf2].set(True)
+    kf_sel = gsel[:, None] & (m.kf_mp >= 0)
+    member = jnp.zeros((m.M,), bool).at[
+        jnp.clip(m.kf_mp, 0, m.M - 1)
+    ].max(kf_sel, mode="drop") & m.mp_valid
+    order = jnp.where(member, jnp.arange(m.M), m.M)
+    pts = jnp.sort(order)[:guided_cap].astype(jnp.int32)
+    pvalid = pts < m.M
+    idc = jnp.clip(pts, 0, m.M - 1)
+    S_cw = S_ref @ m.kf_pose[kf2]
+    T_cw = sim3_to_se3(S_cw)
+    feats = FrameFeatures(
+        uv=m.kf_uv[kf1], uv_raw=m.kf_uv[kf1],
+        response=jnp.zeros((m.N,)), octave=m.kf_octave[kf1],
+        angle=m.kf_angle[kf1], desc=m.kf_desc[kf1],
+        right_u=m.kf_right_u[kf1], depth=m.kf_depth[kf1],
+        valid=m.kf_kp_valid[kf1],
+    )
+    gassign, _ = match_local_points(
+        cam, feats, T_cw,
+        m.mp_pos[idc], m.mp_desc[idc], m.mp_normal[idc],
+        m.mp_max_dist[idc], m.mp_min_dist[idc], pvalid & m.mp_valid[idc],
+        th=2.0, n_levels=n_levels, scale_factor=scale_factor,
+    )
+    total = jnp.sum(gassign >= 0)
+    return jnp.concatenate([
+        jnp.stack([
+            n_matches.astype(jnp.float32),
+            res.ok.astype(jnp.float32),
+            n_in.astype(jnp.float32),
+            total.astype(jnp.float32),
+        ]),
+        S_ref.reshape(16),
+    ])
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("max_out", "consistency_th", "n_banks", "bank_bits"),
@@ -115,6 +221,63 @@ def _detect_body(
     )
     consistent = (ids >= 0) & (best_prev >= consistency_th)
     return ids, consistent, masks, best_prev
+
+
+@jax.jit
+def _correct_on_device(m: MapState, kf1, kf2, S_12):
+    """Batched loop correction: corrected Sim3 for kf1's covisible
+    group, group map points moved old-pose -> corrected-pose, keyframe
+    poses scattered, loop edge recorded (loopClosing.cpp:250-305).
+
+    Returns (new map, host bundle) where the bundle carries everything
+    the essential-graph assembly reads: old/corrected poses, the group
+    mask, covisibility, validity, spanning tree, loop edges, and the
+    live point count for the global-BA budget log.
+    """
+    old_poses = m.kf_pose
+    group = ((m.covis[kf1] > 0) & m.kf_valid).at[kf1].set(True)  # (K,)
+    S_cw_corr = S_12 @ old_poses[kf2]
+    T_old_kf1_inv = inv_T(old_poses[kf1])
+    corrected_all = jnp.einsum(
+        "kij,jl->kil", old_poses @ T_old_kf1_inv, S_cw_corr
+    )  # (K,4,4): corrected Sim3 per keyframe (meaningful where group)
+
+    # Group member points via scatter mask (no host kf_mp pulls).
+    kf_sel = group[:, None] & (m.kf_mp >= 0)
+    member = jnp.zeros((m.M,), bool).at[
+        jnp.clip(m.kf_mp, 0, m.M - 1)
+    ].max(kf_sel, mode="drop") & m.mp_valid
+    # Each point moves through its reference keyframe's correction when
+    # the ref is in the group, else through kf1's (loopClosing.cpp:263-287).
+    ref = m.mp_ref_kf
+    refc = jnp.clip(ref, 0, m.K - 1)
+    use_kf = jnp.where((ref >= 0) & group[refc], refc, kf1)
+    S_old = old_poses[use_kf]  # (M,4,4)
+    S_new = corrected_all[use_kf]
+    p_cam = (
+        jnp.einsum("nij,nj->ni", S_old[:, :3, :3], m.mp_pos)
+        + S_old[:, :3, 3]
+    )
+    S_new_inv = inv_T(S_new)  # corrected poses are SE3 (s=1, stereo/RGBD)
+    p_corr = (
+        jnp.einsum("nij,nj->ni", S_new_inv[:, :3, :3], p_cam)
+        + S_new_inv[:, :3, 3]
+    )
+    mp_pos = jnp.where(member[:, None], p_corr, m.mp_pos)
+
+    kf_pose = jnp.where(
+        group[:, None, None], jax.vmap(sim3_to_se3)(corrected_all), old_poses
+    )
+    new_m = m._replace(
+        mp_pos=mp_pos,
+        kf_pose=kf_pose,
+        loop_edge=m.loop_edge.at[kf1].set(kf2),
+    )
+    bundle = (
+        old_poses, corrected_all, group, new_m.covis, new_m.kf_valid,
+        new_m.parent, new_m.loop_edge, jnp.sum(new_m.mp_valid),
+    )
+    return new_m, bundle
 
 
 class LoopCloserImpl:
@@ -229,189 +392,109 @@ class LoopCloserImpl:
     def _compute_sim3(self, kf1: int, kf2: int):
         """Geometric verification (loopClosing.cpp:115-228).
 
+        ONE fused device program (appearance match -> Horn RANSAC ->
+        Sim3 refinement -> guided projection count) and ONE packed
+        device->host fetch; the reference's sequential early-exits
+        become host gate checks on the fetched scalars.  Per-candidate
+        host pulls of covis rows / kf_mp lists cost a tunnel round trip
+        each (~25 ms) — the r2 anti-pattern this replaces.
+
         Returns (S_12 mapping kf2-camera points into kf1 camera, total
         matches) or None.
         """
         sys = self.system
         cfg = sys.cfg
-        m = sys.map
-        # 1. appearance match restricted to keypoints WITH map points
-        has1 = m.kf_kp_valid[kf1] & (m.kf_mp[kf1] >= 0)
-        has2 = m.kf_kp_valid[kf2] & (m.kf_mp[kf2] >= 0)
-        assign, _ = match_dense(
-            m.kf_desc[kf1], has1, m.kf_angle[kf1],
-            m.kf_desc[kf2], has2, m.kf_angle[kf2],
-            max_dist=cfg.matcher.th_low, ratio=cfg.matcher.ratio_reloc,
-        )  # per kf2-keypoint -> kf1-keypoint
-        n_matches = int(jnp.sum(assign >= 0))
+        self.key, sub = jax.random.split(self.key)
+        pack = _fetch(
+            _verify_pack(
+                sys.map, kf1, kf2, sub, sys.cam,
+                th_low=cfg.matcher.th_low,
+                ratio=cfg.matcher.ratio_reloc,
+                n_hypotheses=cfg.loop.ransac_max_iters,
+                min_inliers=cfg.loop.ransac_min_inliers,
+                sim3_iters=cfg.optim.sim3_iters,
+                scale_factor=cfg.orb.scale_factor,
+                n_levels=cfg.orb.n_levels,
+                guided_cap=cfg.capacity.tracking_points,
+            )
+        )
+        n_matches, ransac_ok, n_in, total = (
+            int(pack[0]), bool(pack[1] > 0.5), int(pack[2]), int(pack[3])
+        )
         if n_matches < cfg.loop.min_bow_matches:
             return None
-        # matched map-point pairs in each camera frame
-        a = jnp.asarray(assign)
-        kp2 = jnp.arange(m.N)
-        kp1 = jnp.clip(a, 0, m.N - 1)
-        ok = a >= 0
-        mp1 = m.kf_mp[kf1, kp1]
-        mp2 = m.kf_mp[kf2, kp2]
-        ok &= (mp1 >= 0) & (mp2 >= 0)
-        ok &= m.mp_valid[jnp.clip(mp1, 0, m.M - 1)]
-        ok &= m.mp_valid[jnp.clip(mp2, 0, m.M - 1)]
-        T1, T2 = m.kf_pose[kf1], m.kf_pose[kf2]
-        p1 = m.mp_pos[jnp.clip(mp1, 0, m.M - 1)] @ T1[:3, :3].T + T1[:3, 3]
-        p2 = m.mp_pos[jnp.clip(mp2, 0, m.M - 1)] @ T2[:3, :3].T + T2[:3, 3]
-        sf2 = (cfg.orb.scale_factor ** jnp.arange(cfg.orb.n_levels)) ** 2
-        s2_1 = sf2[m.kf_octave[kf1, kp1]]
-        s2_2 = sf2[m.kf_octave[kf2, kp2]]
-        # 2. Horn RANSAC (scale fixed: stereo/RGB-D, loopClosing.cpp:132)
-        self.key, sub = jax.random.split(self.key)
-        res = ransac_sim3(
-            sub, sys.cam, p1, p2, s2_1, s2_2, ok,
-            # batched equivalent of maxIterations=300 (loopClosing.cpp:132)
-            n_hypotheses=cfg.loop.ransac_max_iters,
-            min_inliers=cfg.loop.ransac_min_inliers,
-        )
-        if not bool(res.ok):
+        if not ransac_ok:
             return None
-        # 3. Sim3 refinement on inlier observations (optimizeSim3)
-        obs1 = m.kf_uv[kf1, kp1]
-        obs2 = m.kf_uv[kf2, kp2]
-        S_ref, inl, n_in = optimize_sim3(
-            sys.cam, res.S_12, p1, p2, obs1, obs2,
-            1.0 / s2_1, 1.0 / s2_2, res.inliers,
-            iters1=cfg.optim.sim3_iters, iters2=10,
-        )
-        if int(n_in) < cfg.loop.min_sim3_inliers:
+        if n_in < cfg.loop.min_sim3_inliers:
             return None
-        # 4. guided projection against the loop group's map points
-        # (searchByProjectionInSim, >= 40 total, loopClosing.cpp:196-227)
-        total = self._count_guided_matches(kf1, kf2, S_ref)
         if total < cfg.loop.min_total_matches:
             return None
+        S_ref = jnp.asarray(pack[4:20].reshape(4, 4))
         return S_ref, total
-
-    def _count_guided_matches(self, kf1: int, kf2: int, S_12) -> int:
-        """Project the loop group's points into kf1 through the corrected
-        pose and count descriptor hits."""
-        sys = self.system
-        m = sys.map
-        covis_np = np.asarray(m.covis[kf2])
-        group = [kf2] + [int(k) for k in np.argsort(-covis_np)[:10] if covis_np[k] > 0]
-        ids = np.unique(
-            np.concatenate([np.asarray(m.kf_mp[k]) for k in group])
-        )
-        ids = ids[ids >= 0][: sys.cfg.capacity.tracking_points]
-        pad = sys.cfg.capacity.tracking_points - len(ids)
-        idsp = np.pad(ids, (0, pad), constant_values=-1)
-        idc = jnp.clip(jnp.asarray(idsp), 0, m.M - 1)
-        valid = (jnp.asarray(idsp) >= 0) & m.mp_valid[idc]
-        # corrected kf1 pose: S_cw = S_12 @ T_2w
-        S_cw = S_12 @ m.kf_pose[kf2]
-        T_cw = sim3_to_se3(S_cw)
-        from ..ops.extractor import FrameFeatures
-
-        feats = FrameFeatures(
-            uv=m.kf_uv[kf1], uv_raw=m.kf_uv[kf1],
-            response=jnp.zeros((m.N,)), octave=m.kf_octave[kf1],
-            angle=m.kf_angle[kf1], desc=m.kf_desc[kf1],
-            right_u=m.kf_right_u[kf1], depth=m.kf_depth[kf1],
-            valid=m.kf_kp_valid[kf1],
-        )
-        assign, _ = match_local_points(
-            sys.cam, feats, T_cw,
-            m.mp_pos[idc], m.mp_desc[idc], m.mp_normal[idc],
-            m.mp_max_dist[idc], m.mp_min_dist[idc], valid,
-            th=2.0, n_levels=sys.cfg.orb.n_levels,
-            scale_factor=sys.cfg.orb.scale_factor,
-        )
-        return int(jnp.sum(assign >= 0))
 
     # ------------------------------------------------------------------
     def _correct(self, kf1: int, kf2: int, S_12) -> None:
-        """Loop correction (loopClosing.cpp:229-337) + global BA."""
+        """Loop correction (loopClosing.cpp:229-337) + global BA.
+
+        ONE device program corrects the covisible group and its points
+        (loopClosing.cpp:250-305 walks them one mutex-guarded object at
+        a time; per-member device traffic through the remote tunnel
+        costs a round trip each) and ONE bundled fetch pulls everything
+        the host-side essential-graph assembly needs.
+        """
         sys = self.system
-        m = sys.map
         cfg = sys.cfg
-        K = m.K
-        old_poses = m.kf_pose  # snapshot (non-corrected)
-
-        # Corrected Sim3 for kf1 and its covisible group.
-        # One batched program corrects the whole covisible group and its
-        # points (loopClosing.cpp:250-305 walks them one mutex-guarded
-        # object at a time; per-member device dispatches through the
-        # remote tunnel would cost a round trip each at K=512 scale).
-        S_cw_corr = S_12 @ m.kf_pose[kf2]
-        group = np.where((np.asarray(m.covis[kf1]) > 0) & np.asarray(m.kf_valid))[0]
-        group = np.unique(np.concatenate([group, [kf1]]))
-        group_j = jnp.asarray(group, jnp.int32)
-        T_old_kf1_inv = inv_T(old_poses[kf1])
-        corrected_g = jnp.einsum(
-            "gij,jk->gik", old_poses[group_j] @ T_old_kf1_inv, S_cw_corr
-        )  # (G,4,4) corrected Sim3 per group member
-        corrected_host = np.asarray(corrected_g)
-        corrected = {int(k): corrected_host[i] for i, k in enumerate(group)}
-
-        # Move the group's map points through old^-1 then corrected pose
-        # (loopClosing.cpp:263-287).
-        pts = np.unique(np.concatenate([np.asarray(m.kf_mp[k]) for k in group]))
-        pts = pts[pts >= 0]
-        if len(pts):
-            ptsj = jnp.asarray(pts)
-            ref = np.asarray(m.mp_ref_kf)[pts]
-            # use each point's strongest group keyframe: fall back to kf1
-            use_kf = np.where(np.isin(ref, group), ref, kf1)
-            g_index = {int(k): i for i, k in enumerate(group)}
-            S_old = old_poses[jnp.asarray(use_kf)]
-            S_new = corrected_g[
-                jnp.asarray([g_index[int(k)] for k in use_kf], jnp.int32)
-            ]
-            p = m.mp_pos[ptsj]
-            p_cam = jnp.einsum("nij,nj->ni", S_old[:, :3, :3], p) + S_old[:, :3, 3]
-            S_new_inv = inv_T(S_new)  # corrected poses are SE3 (s=1)
-            p_corr = (
-                jnp.einsum("nij,nj->ni", S_new_inv[:, :3, :3], p_cam)
-                + S_new_inv[:, :3, 3]
-            )
-            m = m._replace(mp_pos=m.mp_pos.at[ptsj].set(p_corr))
-
-        # Write corrected keyframe poses (as SE3), one batched scatter.
-        kf_pose = m.kf_pose.at[group_j].set(jax.vmap(sim3_to_se3)(corrected_g))
-        m = m._replace(kf_pose=kf_pose, loop_edge=m.loop_edge.at[kf1].set(kf2))
-        sys.map = m
+        new_m, bundle = _correct_on_device(sys.map, kf1, kf2, S_12)
+        sys.map = new_m
+        (old_np, corrected_np, group_np, covis_np, kf_valid_np,
+         parent_np, loop_edge_np, n_valid_pts) = _fetch(bundle)
 
         # Fuse loop-side points into the corrected group (searchAndFuse).
-        for k in [int(kf1)] + [int(g) for g in group[:5] if g != kf1]:
+        strong = np.argsort(-covis_np[kf1] * group_np)[:5]
+        fuse_targets = [int(kf1)] + [
+            int(g) for g in strong if group_np[g] and int(g) != kf1
+        ]
+        for k in fuse_targets:
             sys.map = _fuse_into_kf(
                 sys.map, kf2, k, sys.cam, cfg.orb.scale_factor, cfg.orb.n_levels
             )
 
-        # Essential graph over all keyframes.
-        sys.map = self._essential_graph(sys.map, kf1, kf2, old_poses, corrected)
+        # Essential graph over all keyframes (host assembly from the
+        # prefetched bundle; device solve).
+        sys.map = self._essential_graph(
+            sys.map, kf1, kf2, old_np, corrected_np, group_np,
+            covis_np, kf_valid_np, parent_np, loop_edge_np,
+        )
 
         # Global BA (10 iterations, loopClosing.cpp:380).
-        sys.map = self._global_ba(sys.map)
+        sys.map = self._global_ba(sys.map, int(n_valid_pts))
         # Trajectory records referenced to pre-correction keyframe poses
         # stay valid: T_c_ref composes with the corrected keyframe pose.
 
-    def _essential_graph(self, m: MapState, kf1, kf2, old_poses, corrected):
+    def _essential_graph(
+        self, m: MapState, kf1, kf2, old_np, corrected_np, group_np,
+        covis_np, kf_valid_np, parent_np, loop_edge_np,
+    ):
+        """Essential-graph optimization (optimizer.cpp:502-661).  Edge
+        assembly is host Python over the PREFETCHED bundle (zero
+        additional device traffic); the Sim3 solve runs on device."""
         cfg = self.system.cfg
         K = m.K
-        covis = np.asarray(m.covis)
-        kf_valid = np.asarray(m.kf_valid)
-        parent = np.asarray(m.parent)
-        loop_edge = np.asarray(m.loop_edge)
+        covis = covis_np
+        kf_valid = kf_valid_np
+        parent = parent_np
+        loop_edge = loop_edge_np
+        old_npl = old_np
         ei, ej, meas, w = [], [], [], []
-        # ONE device fetch; per-edge measurements are 4x4 numpy products
-        # (a device op per edge costs a tunnel round trip each).
-        old_np = np.asarray(old_poses)
 
         def add_edge(i, j, weight, use_corrected=False):
             if i < 0 or j < 0 or i == j or not (kf_valid[i] and kf_valid[j]):
                 return
             if use_corrected:
-                Si = corrected.get(i, old_np[i])
-                Sj = corrected.get(j, old_np[j])
+                Si = corrected_np[i] if group_np[i] else old_npl[i]
+                Sj = corrected_np[j] if group_np[j] else old_npl[j]
             else:
-                Si, Sj = old_np[i], old_np[j]
+                Si, Sj = old_npl[i], old_npl[j]
             ei.append(i)
             ej.append(j)
             meas.append(Si @ np.linalg.inv(Sj))
@@ -466,7 +549,7 @@ class LoopCloserImpl:
         kf_pose = jnp.where(m.kf_valid[:, None, None], T_new, m.kf_pose)
         return m._replace(kf_pose=kf_pose, mp_pos=mp_pos)
 
-    def _global_ba(self, m: MapState) -> MapState:
+    def _global_ba(self, m: MapState, n_valid: int) -> MapState:
         """Full-map BA (globalBundleAdjust, optimizer.cpp:353-357).
 
         Point budget: ``capacity.global_ba_max_points``, selected by
@@ -488,7 +571,6 @@ class LoopCloserImpl:
         fixed = -jnp.ones((1,), jnp.int32)
         pts_cap = min(cfg.capacity.global_ba_max_points, m.M)
         n_obs_tab = jnp.sum(m.mp_obs_kf >= 0, axis=-1)
-        n_valid = int(jnp.sum(m.mp_valid))
         if n_valid > pts_cap:
             print(
                 f"[loop] global BA: map has {n_valid} points, optimizing "
