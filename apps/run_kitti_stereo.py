@@ -31,6 +31,13 @@ def main():
     ap.add_argument("--out-trajectory", default="CameraTrajectory.txt")
     args = ap.parse_args()
 
+    # Env-gated multi-host runtime join (no-op single-process).
+    from ydorbslam_tpu.parallel.multihost import (initialize_distributed,
+                                                  process_info)
+
+    if initialize_distributed():
+        print(f"distributed: {process_info()}")
+
     from ydorbslam_tpu.config import CameraConfig, SlamConfig, load_config
     from ydorbslam_tpu.io import KittiStereoDataset, ate_rmse, kitti_intrinsics
     from ydorbslam_tpu.io.trajectory import read_tum_trajectory
@@ -69,6 +76,11 @@ def main():
     print(f"median tracking time: {stimes[len(stimes) // 2]:.4f}")
     print(f"mean tracking time: {sum(stimes) / len(stimes):.4f}")
     system.save_trajectory_tum(args.out_trajectory)
+
+    from ydorbslam_tpu.slam.stats import format_stats
+
+    print("--- run stats ---")
+    print(format_stats(system.run_stats()))
 
     if args.poses:
         P = np.loadtxt(args.poses).reshape(-1, 3, 4)  # T_w_cam rows

@@ -37,7 +37,18 @@ def main():
     ap.add_argument("--out-trajectory", default="CameraTrajectory.txt")
     ap.add_argument("--out-kf-trajectory", default="KeyFrameTrajectory.txt")
     ap.add_argument("--viz", default=None, help="write a map/trajectory PNG")
+    ap.add_argument("--viewer-dir", default=None,
+                    help="periodic in-run rendering (frame+map PNGs)")
+    ap.add_argument("--viewer-every", type=int, default=30)
     args = ap.parse_args()
+
+    # Join a multi-host runtime when configured (env-gated no-op
+    # single-process) BEFORE any other jax call creates a backend.
+    from ydorbslam_tpu.parallel.multihost import (initialize_distributed,
+                                                  process_info)
+
+    if initialize_distributed():
+        print(f"distributed: {process_info()}")
 
     from ydorbslam_tpu.config import load_config
     from ydorbslam_tpu.io import TumRgbdDataset, ate_rmse, read_tum_trajectory
@@ -57,6 +68,8 @@ def main():
     if args.pipelined:
         system.enable_pipelined(lag=args.lag)
         system.precompile()
+    if args.viewer_dir:
+        system.attach_viewer(args.viewer_dir, every=args.viewer_every)
     track = (
         system.track_rgbd_pipelined if args.pipelined else system.track_rgbd
     )
@@ -81,6 +94,11 @@ def main():
     system.save_trajectory_tum(args.out_trajectory)
     system.save_keyframe_trajectory_tum(args.out_kf_trajectory)
     print(f"trajectories saved: {args.out_trajectory}, {args.out_kf_trajectory}")
+
+    from ydorbslam_tpu.slam.stats import format_stats
+
+    print("--- run stats ---")
+    print(format_stats(system.run_stats()))
 
     if args.viz:
         from ydorbslam_tpu.viz.headless import render_map_topdown

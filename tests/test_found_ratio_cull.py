@@ -139,3 +139,9 @@ def test_pipelined_found_ratio_cull(rng):
     )
     # Sanity: the map itself survives (real points not collateral).
     assert int(np.asarray(sys_.map.mp_valid).sum()) > 100
+
+
+# Full-pipeline run: minutes on CPU; deselect via -m "not slow".
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow

@@ -72,3 +72,9 @@ def test_sync_tracker_post_reloc_counter():
     blank = np.zeros((480, 640), np.float32)
     tr.track_rgbd(0.0, blank, blank)
     assert tr.frames_since_reloc == 0
+
+
+# Full-pipeline run: minutes on CPU; deselect via -m "not slow".
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow

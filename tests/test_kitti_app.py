@@ -88,3 +88,9 @@ def test_kitti_stereo_app_end_to_end(rng, tmp_path, capsys, monkeypatch):
 
     ts, pos, _ = read_tum_trajectory(out_traj)
     assert len(ts) >= 8
+
+
+# Full-pipeline run: minutes on CPU; deselect via -m "not slow".
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow

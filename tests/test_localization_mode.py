@@ -97,3 +97,9 @@ def test_localization_mode_frozen_map_and_vo(rng):
         t, g, d = seq.frame(i)
         sys_.track_rgbd(t + 400.0, g, d)
     assert sys_.n_keyframes >= n_kf
+
+
+# Full-pipeline run: minutes on CPU; deselect via -m "not slow".
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow

@@ -119,3 +119,9 @@ def test_long_run_slot_reuse_invariants(rng, tmp_path):
     assert len(errs) >= n - 10
     med = float(np.median(errs))
     assert med < 0.08, f"long-run median center error {med:.3f} m"
+
+
+# Full-pipeline run: minutes on CPU; deselect via -m "not slow".
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow

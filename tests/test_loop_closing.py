@@ -131,3 +131,9 @@ def test_loop_detection_and_correction(rng):
     err_before = np.linalg.norm(revisit_drifted[:3, 3] - revisit_true[:3, 3])
     err_after = np.linalg.norm(T_corr[:3, 3] - revisit_true[:3, 3])
     assert err_after < err_before * 0.5, (err_before, err_after)
+
+
+# Full-pipeline run: minutes on CPU; deselect via -m "not slow".
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow

@@ -111,3 +111,9 @@ def test_loop_event_fetch_budget(monkeypatch):
     assert counter.counts["correct"] == calls["correct"], (
         counter.counts, calls
     )
+
+
+# Full-pipeline run: minutes on CPU; deselect via -m "not slow".
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow

@@ -90,3 +90,118 @@ def test_full_rotation_reuses_map_without_false_loops(rng):
     R_err = T[:3, :3] @ T_gt[:3, :3].T
     ang = np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1))
     assert ang < 0.15, f"rotation error {ang}"
+
+
+# Full-pipeline run: minutes on CPU; deselect via -m "not slow".
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow
+
+
+class OrbitDriftSequence:
+    """Camera orbits inside the landmark cylinder facing outward; the
+    DEPTH channel's scale drifts by ``drift_rate`` per frame, so RGB-D
+    point seeding accumulates genuine scale drift over the circuit —
+    the classic condition loop closure exists to repair
+    (loopClosing.cpp:229-337).  The image stream itself is exact."""
+
+    def __init__(self, rng, n_frames=40, n_landmarks=900, radius=6.0,
+                 orbit=2.5, drift_rate=0.003):
+        self.n_frames = n_frames
+        self.drift_rate = drift_rate
+        self.orbit = orbit
+        theta = rng.uniform(0, 2 * np.pi, n_landmarks)
+        y = rng.uniform(-2.5, 2.5, n_landmarks)
+        r = radius + rng.uniform(-1.0, 1.0, n_landmarks)
+        self.landmarks = np.stack(
+            [r * np.sin(theta), y, r * np.cos(theta)], -1
+        )
+
+    def pose(self, i):
+        """T_cw: camera on the orbit circle, facing radially outward."""
+        phi = 2 * np.pi * (i % self.n_frames) / self.n_frames
+        R_wc = Rotation.from_euler("y", phi).as_matrix()
+        c = self.orbit * np.array([np.sin(phi), 0.0, np.cos(phi)])
+        T = np.eye(4)
+        T[:3, :3] = R_wc.T
+        T[:3, 3] = -R_wc.T @ c
+        return T
+
+    def gt_center_est_frame(self, i):
+        """GT camera center expressed in the estimator's world frame
+        (= the first camera's frame)."""
+        phi = 2 * np.pi * (i % self.n_frames) / self.n_frames
+        c_w = self.orbit * np.array([np.sin(phi), 0.0, np.cos(phi)])
+        T0 = self.pose(0)
+        return T0[:3, :3] @ c_w + T0[:3, 3]
+
+    def frame(self, i):
+        T = self.pose(i)
+        pc = self.landmarks @ T[:3, :3].T + T[:3, 3]
+        z = pc[:, 2]
+        uv = np.stack(
+            [500 * pc[:, 0] / np.where(z > 0.1, z, 1) + 320,
+             500 * pc[:, 1] / np.where(z > 0.1, z, 1) + 240], -1,
+        )
+        uv[z <= 0.1] = -100
+        img = render_dots(uv, z, 640, 480, dot=7)
+        depth = np.zeros((480, 640), np.float32)
+        order = np.argsort(-z)
+        scale = 1.0 + self.drift_rate * i  # drift keeps growing, never wraps
+        for j in order:
+            u, v = int(round(uv[j, 0])), int(round(uv[j, 1]))
+            if 10 <= u < 630 and 10 <= v < 470 and z[j] > 0.1:
+                depth[v - 1 : v + 3, u - 1 : u + 3] = z[j] * scale
+        return i / 30.0, img, depth
+
+
+def test_drifted_revisit_closes_loop_and_corrects(rng):
+    """VERDICT r2 #7: a drifted revisit rendered through the FULL
+    tracking+mapping pipeline (no hand-inserted keyframes) must fire
+    loop detection, pass Sim3 verification, run the correction, and
+    measurably pull the trajectory back onto the ground truth."""
+    import dataclasses
+
+    seq = OrbitDriftSequence(rng, n_frames=40, drift_rate=0.003)
+    base = small_cfg()
+    cfg = dataclasses.replace(
+        base,
+        loop=LoopConfig(
+            min_kfs_between_loops=6, covisibility_consistency_th=2,
+            min_total_matches=30,
+        ),
+        # the orbit inserts a keyframe nearly every frame (9deg of yaw
+        # between frames); small_cfg's 24-slot window exhausts mid-orbit
+        capacity=dataclasses.replace(
+            base.capacity, max_keyframes=64, max_map_points=8192,
+        ),
+    )
+    sys = SlamSystem(cfg, Sensor.RGBD, enable_loop_closing=True)
+    n_total = seq.n_frames + 14
+    errs, oks = [], []
+    loop_frame = None
+    for i in range(n_total):
+        t, g, d = seq.frame(i)
+        oks.append(bool(sys.track_rgbd(t + i * 1e-3, g, d)))
+        T = np.asarray(sys.tracker.T_cw)
+        c_est = -T[:3, :3].T @ T[:3, 3]
+        errs.append(np.linalg.norm(c_est - seq.gt_center_est_frame(i)))
+        if loop_frame is None and sys.loop_closer.n_loops_closed:
+            loop_frame = i
+    assert sum(oks) > n_total * 0.8, f"tracking broke: {sum(oks)}/{n_total}"
+    # Drift genuinely accumulated before the loop fired...
+    assert loop_frame is not None, "no loop closure on a drifted revisit"
+    assert loop_frame >= seq.n_frames, "loop fired before the revisit"
+    pre_err = max(errs[seq.n_frames - 8 : loop_frame + 1])
+    assert pre_err > 0.15, f"no real drift to correct ({pre_err:.3f})"
+    # ...and the correction pulled the pose back: best error over the
+    # post-correction tail (the frame right after a correction may be a
+    # transient while tracking re-locks onto the shifted map).
+    post_err = min(errs[loop_frame + 1 :])
+    assert post_err < pre_err / 2, (pre_err, post_err)
+    assert sys.loop_closer.n_loops_closed >= 1
+    # observability: the run stats saw the same story
+    d = sys.run_stats()
+    assert d["loops_closed"] >= 1
+    assert d["loop_candidates"] >= 1
+    assert d["global_ba_runs"] >= 1

@@ -51,3 +51,9 @@ def test_pipelined_recovers_from_blackout(rng):
     sys.shutdown()
     # Must have recovered to OK by the end.
     assert sys.tracking_state() == TrackingState.OK
+
+
+# Full-pipeline run: minutes on CPU; deselect via -m "not slow".
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow

@@ -69,3 +69,9 @@ def test_pipelined_fallback_survives_pose_jump(rng):
     T_gt = seq.poses[len(sys.records) - 1]
     c_gt = -T_gt[:3, :3].T @ T_gt[:3, 3]
     assert np.linalg.norm(c_est - c_gt) < 0.35, (c_est, c_gt)
+
+
+# Full-pipeline run: minutes on CPU; deselect via -m "not slow".
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow

@@ -62,3 +62,9 @@ def test_kidnapped_relocalization(rng):
     T_gt = seq.poses[2]
     c_gt = -T_gt[:3, :3].T @ T_gt[:3, 3]
     assert np.linalg.norm(c_est - c_gt) < 0.05
+
+
+# Full-pipeline run: minutes on CPU; deselect via -m "not slow".
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow

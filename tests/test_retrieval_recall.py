@@ -132,3 +132,9 @@ def test_recall_table(rng, capsys):
     for noise, r1, r8 in rows:
         if noise <= 0.15:
             assert r8 >= 0.9, (noise, r8)
+
+
+# Full-pipeline run: minutes on CPU; deselect via -m "not slow".
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow

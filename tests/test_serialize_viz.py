@@ -143,3 +143,41 @@ def test_system_checkpoint_resume(rng, tmp_path):
     assert ok_frames >= 6
     assert s3.n_keyframes == nkf
     assert int(jnp.sum(s3.map.mp_valid)) == n_mp
+
+
+def test_periodic_viewer_and_run_stats(rng, tmp_path):
+    """In-run periodic rendering (viewer.cpp:37-121 analog) + the
+    metrics/observability counters: a short sequence with a viewer
+    attached must write frame+map PNGs at the cadence and report
+    consistent run stats."""
+    seq = SyntheticRgbdSequence(rng, n_frames=8, n_landmarks=400)
+    sys = SlamSystem(small_cfg(), Sensor.RGBD, enable_loop_closing=False)
+    viewer = sys.attach_viewer(str(tmp_path / "viz"), every=3)
+    for i in range(len(seq)):
+        t, g, d = seq.frame(i)
+        sys.track_rgbd(t, g, d)
+    assert viewer.n_rendered >= 2  # frames 0, 3, 6
+    pngs = sorted(p.name for p in (tmp_path / "viz").iterdir())
+    assert any(p.startswith("frame_") for p in pngs)
+    assert any(p.startswith("map_") for p in pngs)
+    from PIL import Image
+
+    Image.open(tmp_path / "viz" / [p for p in pngs if p.startswith("map_")][-1])
+
+    d = sys.run_stats()
+    assert d["frames_total"] == len(seq)
+    assert d["keyframes_inserted"] >= 1
+    assert d["keyframes_live"] <= d["keyframes_inserted"]
+    assert d["map_points_live"] > 0
+    assert 0.0 <= d["track_rate"] <= 1.0
+    assert d["mean_inliers"] > 0
+    from ydorbslam_tpu.slam.stats import format_stats
+
+    s = format_stats(d)
+    assert "track rate" in s and "loops" in s
+
+
+# Full-pipeline run: minutes on CPU; deselect via -m "not slow".
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow

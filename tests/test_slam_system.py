@@ -119,3 +119,9 @@ def test_reset(rng):
         t, g, d = seq.frame(i)
         ok = sys.track_rgbd(t, g, d)
     assert ok
+
+
+# Full-pipeline run: minutes on CPU; deselect via -m "not slow".
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow

@@ -75,3 +75,9 @@ def test_stereo_pipelined(rng, tmp_path):
     gt = centers(seq.inner.poses)
     err = ate_rmse(pos, gt[-len(pos):])
     assert err < 0.08, f"pipelined stereo ATE {err}"
+
+
+# Full-pipeline run: minutes on CPU; deselect via -m "not slow".
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow

@@ -291,14 +291,14 @@ class LoopCloserImpl:
         # file, keyFrameDatabase.cpp:26-105).  Same gates either way.
         self._sharded_detect = None
         self.used_sharded_detect = False
-        devs = jax.devices()
-        K = system.cfg.capacity.max_keyframes
-        if len(devs) > 1 and K % len(devs) == 0:
-            from jax.sharding import Mesh
+        from ..parallel.multihost import device_mesh
 
+        K = system.cfg.capacity.max_keyframes
+        mesh = device_mesh("kf", length_divisor=K)
+        if mesh is not None:
             cfg = system.cfg
             self._sharded_detect = make_sharded_detect(
-                Mesh(np.array(devs), ("kf",)),
+                mesh,
                 cfg.capacity.loop_candidates,
                 cfg.loop.covisibility_consistency_th,
                 cfg.loop.retrieval_banks,
@@ -377,6 +377,8 @@ class LoopCloserImpl:
             return False
         ids_np, cons_np = jax.device_get((ids, consistent))
         cands = [int(i) for i, c in zip(ids_np, cons_np) if i >= 0 and c]
+        if cands:
+            sys.stats.loop_candidates += 1
         for cand in cands:
             hit = self._compute_sim3(kf_id, cand)
             if hit is not None:
@@ -563,6 +565,7 @@ class LoopCloserImpl:
         loopClosing.cpp:334 + optimizer.cpp:17-19 — ``abort_global_ba``
         on the LoopCloser requests an early stop)."""
         sys = self.system
+        sys.stats.global_ba_runs += 1
         cfg = sys.cfg
         from .mapping import apply_local_ba, build_local_ba
 
@@ -587,13 +590,13 @@ class LoopCloserImpl:
             m, win, fixed, pts, sys.inv_sigma2_tab,
             obs_cap=cfg.capacity.global_ba_obs,
         )
-        devices = jax.devices()
+        from ..parallel.multihost import device_mesh
+
         should_abort = getattr(self.closer, "should_abort_ba", None)
-        if len(devices) > 1:
-            from jax.sharding import Mesh
+        mesh = device_mesh("pts")
+        if mesh is not None:
             from ..parallel.ba_sharded import sharded_bundle_adjust
 
-            mesh = Mesh(np.asarray(devices), axis_names=("pts",))
             T_new, p_new, outlier = sharded_bundle_adjust(
                 mesh, sys.cam, prob, iters=cfg.optim.global_ba_iters,
                 chunk=5, should_abort=should_abort,

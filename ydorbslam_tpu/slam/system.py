@@ -181,6 +181,35 @@ class SlamSystem:
 
             self.loop_closer = LoopCloser(self)
         self._frame_mpid = None  # (N,) map-point id per current-frame kp
+        self.viewer = None  # optional PeriodicViewer (attach_viewer)
+        from .stats import RunStats
+
+        self.stats = RunStats()
+
+    def attach_viewer(self, out_dir: str, every: int = 30, **kw):
+        """Enable in-run periodic rendering (viewer.cpp:37-121 analog):
+        every ``every`` tracked frames write an annotated frame PNG and
+        a top-down map PNG under ``out_dir``."""
+        from ..viz.headless import PeriodicViewer
+
+        self.viewer = PeriodicViewer(out_dir, every=every, **kw)
+        return self.viewer
+
+    def run_stats(self) -> dict:
+        """Per-run observability counters (SURVEY.md §5: metrics).
+
+        Merges the live host counters with values derived from the frame
+        records plus ONE map fetch — call at sequence end (the apps do),
+        not per frame."""
+        s = self.stats
+        s.frames_total = len(self.records)
+        s.frames_lost = sum(1 for r in self.records if r.lost)
+        if self.loop_closer is not None:
+            s.loops_closed = self.loop_closer.n_loops_closed
+        d = s.as_dict()
+        d["keyframes_live"] = self.n_keyframes
+        d["map_points_live"] = int(np.asarray(self.map.mp_valid).sum())
+        return d
 
     def precompile(self):
         """Compile every steady-state device program up front.
@@ -376,6 +405,8 @@ class SlamSystem:
         assert self.sensor == Sensor.RGBD, "sensor mismatch (system.cpp:112-115)"
         ok = self.tracker.track_rgbd(timestamp, gray, depth)
         self._record(timestamp, ok)
+        if self.viewer is not None:
+            self.viewer.maybe_draw(self, self.frame_id, gray)
         self.frame_id += 1
         return ok
 
@@ -383,6 +414,8 @@ class SlamSystem:
         assert self.sensor == Sensor.STEREO, "sensor mismatch (system.cpp:73-76)"
         ok = self.tracker.track_stereo(timestamp, gray_l, gray_r)
         self._record(timestamp, ok)
+        if self.viewer is not None:
+            self.viewer.maybe_draw(self, self.frame_id, gray_l)
         self.frame_id += 1
         return ok
 
@@ -423,6 +456,7 @@ class SlamSystem:
         self.records = []
         self._pending_snap = None
         self._snap = None
+        self.stats.resets += 1
 
     def shutdown(self):
         """Drain the pipelined queue; no threads to join
@@ -580,6 +614,10 @@ class SlamSystem:
             loc_mode=self.localization_only,
         )
         self._pending.append((timestamp, self.frame_id))
+        if self.viewer is not None:
+            # Frame annotation is lag frames stale in pipelined mode
+            # (features are device-resident); the map view is current.
+            self.viewer.maybe_draw(self, self.frame_id, None)
         self.frame_id += 1
         if len(self._pending) >= self._effective_lag:
             self._drain_batch()
@@ -608,6 +646,10 @@ class SlamSystem:
             loc_mode=self.localization_only,
         )
         self._pending.append((timestamp, self.frame_id))
+        if self.viewer is not None:
+            # Frame annotation is lag frames stale in pipelined mode
+            # (features are device-resident); the map view is current.
+            self.viewer.maybe_draw(self, self.frame_id, None)
         self.frame_id += 1
         if len(self._pending) >= self._effective_lag:
             self._drain_batch()
@@ -718,6 +760,7 @@ class SlamSystem:
             kf_cull_redundancy=cfg.mapping.kf_cull_redundancy,
         )
         self._ba_pending = False
+        self.stats.local_ba_runs += 1
         self._stash_snapshot(snap_vec)
 
     def _drain_one(self, timestamp, info, allow_reloc: bool = True):
@@ -739,6 +782,9 @@ class SlamSystem:
                 SystemRecord(timestamp, self.ref_kf, np.eye(4), True)
             )
         self.tracker.n_inliers = int(info.n_inliers)
+        if ok:
+            self.stats.inlier_sum += self.tracker.n_inliers
+            self.stats.inlier_frames += 1
         self.tracker.state = (
             TrackingState.OK if ok else (
                 TrackingState.LOST if mode == MODE_LOST
@@ -924,6 +970,8 @@ class SlamSystem:
         self.visual_odometry = False
         tracker.new_T = T_opt
         tracker.n_inliers = n_in
+        self.stats.inlier_sum += n_in
+        self.stats.inlier_frames += 1
 
         # Per-keypoint map-point ids of this frame (inliers only).
         mpid = jnp.where(
@@ -973,6 +1021,7 @@ class SlamSystem:
         culled = set(culled)
         if not culled:
             return
+        self.stats.keyframes_culled += len(culled)
         # Keep the retrieval index in sync (KeyFrameDatabase::erase).
         from .mapping import SNAP_CULL_CAP
         from .retrieval import remove_keyframes
@@ -1014,6 +1063,7 @@ class SlamSystem:
         m = self.map
         if self.n_keyframes == 0:
             return False
+        self.stats.reloc_attempts += 1
         q = bow_histogram(feats.desc, feats.valid, **self._bank_kw)
         ids, _ = detect_candidates(
             self.retrieval, q, jnp.zeros((m.K,), bool), m.covis,
@@ -1083,6 +1133,7 @@ class SlamSystem:
                 tracker.velocity = jnp.eye(4)
                 tracker.n_inliers = int(n_in)
                 self.ref_kf = cand
+                self.stats.reloc_successes += 1
                 return True
         return False
 
@@ -1153,6 +1204,7 @@ class SlamSystem:
         self.n_keyframes += 1
         self.ref_kf = slot
         self.frames_since_kf = 0
+        self.stats.keyframes_inserted += 1
         # Index the keyframe for place recognition (KeyFrameDatabase::add
         # serves both relocalization and loop detection).
         from .retrieval import add_keyframe as _retr_add
@@ -1193,6 +1245,7 @@ class SlamSystem:
             else:
                 from .mapping import mapping_step
 
+                self.stats.local_ba_runs += 1
                 self.map, snap_vec = mapping_step(
                     self.map, jnp.int32(slot), jnp.int32(self.n_keyframes),
                     self.cam, self.inv_sigma2_tab,

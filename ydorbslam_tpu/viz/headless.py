@@ -95,6 +95,66 @@ def render_map_topdown(
     img.save(path)
 
 
+class PeriodicViewer:
+    """In-run periodic rendering — the Viewer thread's render loop
+    (src/viewer.cpp:37-121) as a frame-cadence hook.
+
+    The reference's Viewer wakes every ~30 ms and redraws the map and
+    the annotated frame; on a headless TPU host the same information is
+    written as numbered PNGs every ``every`` tracked frames.  Attach via
+    ``SlamSystem.attach_viewer(out_dir)``; the system calls ``maybe_draw``
+    from both tracking paths.  Rendering pulls host copies of the map
+    arrays, so the cadence (default 30 = ~1 Hz at TUM rates) bounds the
+    overhead; it is never on the per-frame device path.
+    """
+
+    def __init__(self, out_dir: str, every: int = 30,
+                 draw_frame: bool = True, draw_map: bool = True):
+        import os
+
+        self.out_dir = out_dir
+        self.every = max(1, int(every))
+        self.draw_frame = draw_frame
+        self.draw_map = draw_map
+        self.n_rendered = 0
+        os.makedirs(out_dir, exist_ok=True)
+
+    def maybe_draw(self, system, frame_id: int, gray=None) -> bool:
+        if frame_id % self.every:
+            return False
+        import os
+
+        if self.draw_frame and gray is not None:
+            kps = system.tracked_keypoints()
+            if kps is not None:
+                uv, valid = kps
+                # green = bound to a map point, blue = detected only
+                mpid = getattr(system, "_frame_mpid", None)
+                matched = (
+                    np.asarray(mpid) >= 0 if mpid is not None
+                    else np.zeros(len(uv), bool)
+                )
+                uv, matched = uv[valid], matched[valid]
+            else:  # pipelined mode keeps features device-resident
+                uv = np.zeros((0, 2), np.float32)
+                matched = np.zeros((0,), bool)
+            txt = (f"f{frame_id} {system.tracking_state().name} "
+                   f"KF {system.n_keyframes} "
+                   f"inliers {system.tracked_map_points()}")
+            render_tracked_frame(
+                np.asarray(gray, np.float32), uv, matched,
+                os.path.join(self.out_dir, f"frame_{frame_id:06d}.png"),
+                state_text=txt,
+            )
+        if self.draw_map and system.n_keyframes > 0:
+            render_map_topdown(
+                system.map,
+                os.path.join(self.out_dir, f"map_{frame_id:06d}.png"),
+            )
+        self.n_rendered += 1
+        return True
+
+
 def render_tracked_frame(
     gray: np.ndarray,
     uv: np.ndarray,
