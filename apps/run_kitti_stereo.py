@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--no-loop", action="store_true")
     ap.add_argument("--out-trajectory", default="CameraTrajectory.txt")
+    ap.add_argument("--viewer-dir", default=None,
+                    help="periodic in-run rendering (frame+map PNGs)")
+    ap.add_argument("--viewer-every", type=int, default=30)
     args = ap.parse_args()
 
     # Env-gated multi-host runtime join (no-op single-process).
@@ -60,6 +63,8 @@ def main():
     )
     n = len(ds) if not args.max_frames else min(args.max_frames, len(ds))
     system = SlamSystem(cfg, Sensor.STEREO, enable_loop_closing=not args.no_loop)
+    if args.viewer_dir:
+        system.attach_viewer(args.viewer_dir, every=args.viewer_every)
     times = []
     for i in range(n):
         t, left, right = ds[i]

@@ -207,7 +207,9 @@ class SlamSystem:
         if self.loop_closer is not None:
             s.loops_closed = self.loop_closer.n_loops_closed
         d = s.as_dict()
-        d["keyframes_live"] = self.n_keyframes
+        # n_keyframes is the insertion counter (it never decrements on
+        # culls); live = currently valid slots.
+        d["keyframes_live"] = int(np.asarray(self.map.kf_valid).sum())
         d["map_points_live"] = int(np.asarray(self.map.mp_valid).sum())
         return d
 
