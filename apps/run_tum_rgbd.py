@@ -56,7 +56,10 @@ def main():
     from ydorbslam_tpu.slam.system import SlamSystem, Sensor
 
     cfg = load_config(args.config)
-    ds = TumRgbdDataset(args.sequence_dir, args.assoc, cfg.depth.depth_map_factor)
+    ds = TumRgbdDataset(
+        args.sequence_dir, args.assoc, cfg.depth.depth_map_factor,
+        is_rgb=cfg.camera.is_rgb,
+    )
     n = len(ds) if not args.max_frames else min(args.max_frames, len(ds))
     print(f"sequence: {n} frames; starting SLAM")
 

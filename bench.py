@@ -97,8 +97,10 @@ def run(system, frames, n_warm=20):
     med = float(np.median(times))
     drains = sorted(t for t in times if t > 10 * max(med, 1e-4))
     typical_drain = drains[len(drains) // 2] if drains else med
+    stalls = 0
     for i, t in enumerate(times):
         if t > 10 * max(typical_drain, 10 * med):
+            stalls += 1
             print(
                 f"bench: WARNING frame {i + n_warm} took {t * 1000:.0f} ms "
                 f"(typical drain {typical_drain * 1000:.0f} ms) — "
@@ -109,19 +111,39 @@ def run(system, frames, n_warm=20):
     # (per-dispatch medians undercount the async pipeline's real rate).
     total = sum(times) + drain
     fps = (len(frames) - n_warm) / total
-    return fps, times, drain
+    ms = [x * 1000 for x in times]
+    stats = dict(
+        fps=round(fps, 2),
+        frame_ms_p50=round(float(np.percentile(ms, 50)), 3),
+        frame_ms_p95=round(float(np.percentile(ms, 95)), 2),
+        flush_ms=round(drain * 1000, 1),
+        stalls=stalls,
+    )
+    return fps, stats
 
 
-def best_of(n_passes, make, frames):
-    """Best wall-clock pass over fresh systems (code/jit caches warm
-    after pass 1).  The remote-TPU tunnel adds multi-hundred-ms stalls
-    at random; best-of-N reports the least-disturbed full run — every
-    pass still tracks every frame for real."""
-    best = 0.0
+def measure(n_passes, make, frames):
+    """EVERY pass recorded, median pass is the headline.
+
+    The remote-TPU tunnel's RTT drifts between runs (r3 measured a
+    43-67 fps spread on identical code), so a single pass can neither
+    demonstrate a target nor catch a regression.  Per-pass fps +
+    frame-time distribution + stall counts are all emitted so the
+    artifact shows its own spread; the median pass (not the best) is
+    the number reported."""
+    passes = []
     for _ in range(n_passes):
-        fps, _, _ = run(make(), frames)
-        best = max(best, fps)
-    return best
+        _, stats = run(make(), frames)
+        passes.append(stats)
+    fps_sorted = sorted(p["fps"] for p in passes)
+    median_fps = fps_sorted[len(fps_sorted) // 2]
+    spread = dict(
+        passes=passes,
+        fps_min=fps_sorted[0],
+        fps_median=median_fps,
+        fps_max=fps_sorted[-1],
+    )
+    return median_fps, spread
 
 
 def profile(frames):
@@ -227,12 +249,12 @@ def profile(frames):
     out["mapping_finish_ms"] = float(np.median([fin() for _ in range(3)]))
 
     nkf0 = system.n_keyframes
-    fps, times, drain = run(system, frames)
+    fps, stats = run(system, frames)
     out["keyframes_in_run"] = system.n_keyframes - nkf0
     out["steady_fps"] = round(fps, 2)
-    out["frame_ms_p50"] = float(np.percentile([x * 1000 for x in times], 50))
-    out["frame_ms_p95"] = float(np.percentile([x * 1000 for x in times], 95))
-    out["flush_ms"] = drain * 1000
+    out["frame_ms_p50"] = stats["frame_ms_p50"]
+    out["frame_ms_p95"] = stats["frame_ms_p95"]
+    out["flush_ms"] = stats["flush_ms"]
     with open("bench_profile.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
@@ -243,15 +265,13 @@ def main():
     if "--profile" in sys.argv:
         profile(frames)
         return
-    # Primary metric: loop closing off — the reference's timing contract
-    # measures the TRACKING thread only (test.cpp:98-106); its loop
-    # closer runs in a background thread.  Synthetic dot scenes also
-    # alias heavily in appearance space, which would benchmark the
-    # verifier, not tracking.
-    # Best-of-3: the tunnel's RTT drifts between runs (43-67 fps spread
-    # measured on identical code with zero stall warnings); more passes
-    # sample a less-disturbed window without changing what is measured.
-    fps = best_of(3, lambda: make_system(enable_loop_closing=False), frames)
+    n_passes = int(os.environ.get("BENCH_PASSES", "3"))
+    # First line: loop closing off — the reference's timing contract
+    # measures the TRACKING thread only (test.cpp:98-106).
+    fps, spread = measure(
+        n_passes, lambda: make_system(enable_loop_closing=False), frames
+    )
+    print(json.dumps({"detail": "loop_off_passes", **spread}))
     print(
         json.dumps(
             {
@@ -264,8 +284,15 @@ def main():
     )
     if os.environ.get("BENCH_ONLY_PRIMARY"):
         return
-    # Informational second line: everything on (loop closing enabled).
-    fps2 = best_of(3, lambda: make_system(enable_loop_closing=True), frames)
+    # HEADLINE (last line, the one the driver parses): everything on.
+    # Loop detection dispatches per keyframe and any accepted loop's
+    # correction + interleaved global BA run inside the measured window;
+    # the reference excludes all of that from its timing contract, so
+    # this is the stricter number.
+    fps2, spread2 = measure(
+        n_passes, lambda: make_system(enable_loop_closing=True), frames
+    )
+    print(json.dumps({"detail": "loop_on_passes", **spread2}))
     print(
         json.dumps(
             {

@@ -202,6 +202,13 @@ def test_drifted_revisit_closes_loop_and_corrects():
     assert loop_frame >= seq.n_frames, "loop fired before the revisit"
     pre_err = max(errs[seq.n_frames - 8 : loop_frame + 1])
     assert pre_err > 0.15, f"no real drift to correct ({pre_err:.3f})"
+    # Guard against a threshold/config drift making the closure fire on
+    # the very last frame: min() over an empty tail would raise a bare
+    # ValueError instead of a diagnosable assertion.
+    assert loop_frame < n_total - 1, (
+        f"loop fired on the final frame ({loop_frame}) — no "
+        "post-correction tail to evaluate; extend the sequence"
+    )
     # ...and the correction pulled the pose back: best error over the
     # post-correction tail (the frame right after a correction may be a
     # transient while tracking re-locks onto the shifted map).

@@ -48,12 +48,43 @@ def test_device_mesh_process_major_and_divisor():
         multihost.device_mesh("kf", length_divisor=7).devices.size in (7, 1)
 
 
-def test_production_paths_use_device_mesh():
+def test_production_paths_use_device_mesh(monkeypatch):
     """The loop closer's sharded-detect and global-BA mesh construction
-    route through multihost.device_mesh (no raw jax.devices() Mesh)."""
-    import inspect
+    route through multihost.device_mesh — verified by BEHAVIOR (a spy on
+    the helper sees both call sites fire), not by source text."""
+    calls = []
+    orig = multihost.device_mesh
 
-    from ydorbslam_tpu.slam import loop_impl
+    def spy(axis_name, length_divisor=None):
+        calls.append(axis_name)
+        return orig(axis_name, length_divisor=length_divisor)
 
-    src = inspect.getsource(loop_impl)
-    assert src.count("device_mesh(") >= 2
+    monkeypatch.setattr(multihost, "device_mesh", spy)
+
+    from ydorbslam_tpu.config import (CameraConfig, CapacityConfig,
+                                      OrbConfig, SlamConfig)
+    from ydorbslam_tpu.slam.loop_impl import LoopCloserImpl
+    from ydorbslam_tpu.slam.system import SlamSystem, Sensor
+
+    cfg = SlamConfig(
+        camera=CameraConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0,
+                            bf=50.0, width=640, height=480),
+        orb=OrbConfig(n_features=128),
+        capacity=CapacityConfig(
+            max_keypoints=128, max_keyframes=8, max_map_points=512,
+            max_obs_per_point=8, local_ba_window_kf=4, local_ba_fixed_kf=2,
+            local_ba_max_points=256, tracking_points=256,
+            global_ba_max_points=256,
+        ),
+    )
+    sys_ = SlamSystem(cfg, Sensor.RGBD, enable_mapping=True,
+                      enable_loop_closing=True)
+    impl = LoopCloserImpl(sys_, sys_.loop_closer)
+    # 1. sharded retrieval mesh for production detection
+    assert "kf" in calls, calls
+    # 2. point-sharded mesh for the interleaved global BA
+    impl._start_global_ba(sys_.map, 0)
+    assert "pts" in calls, calls
+    # The armed BA runs to completion through the (spied) mesh path.
+    while impl._gba is not None:
+        impl.tick()

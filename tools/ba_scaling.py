@@ -102,7 +102,7 @@ def main():
         "Problem: 64 cameras, 8192 points, 8 obs/point (synthetic, converged",
         "geometry + noise).  Production code path:",
         "`parallel/ba_sharded.sharded_bundle_adjust` — the same function",
-        "`slam/loop_impl._global_ba` calls after every accepted loop when more",
+        "`slam/loop_impl` dispatches per-chunk after every accepted loop when more",
         "than one device is visible.  Host: virtual CPU mesh",
         "(`--xla_force_host_platform_device_count=8`) — all devices share one",
         "socket, so this measures the SPMD partition + collective overhead, not",

@@ -43,7 +43,11 @@ class CameraConfig:
     fps: float = 30.0
     width: int = 640
     height: int = 480
-    is_rgb: bool = False  # Camera.RGB channel order flag
+    # Camera.RGB channel-order flag (tracking.cpp:73).  True = decoded
+    # channels are labeled correctly (PIL/PNG case — our loader's
+    # input); False = files carry OpenCV-BGR-swapped channels, so the
+    # grayscale luma weights swap (io/tum.load_image_gray).
+    is_rgb: bool = True
 
 
 @dataclass(frozen=True)

@@ -48,13 +48,18 @@ def parse_association(assoc_path: str) -> TumAssociation:
     return TumAssociation(ts, rgbs, depths)
 
 
-def load_image_gray(path: str, is_rgb_order: bool = False) -> np.ndarray:
+def load_image_gray(path: str, is_rgb_order: bool = True) -> np.ndarray:
     """Load an image as SENSOR-NATIVE uint8 grayscale, shape (H, W).
 
-    Uses the Rec.601 luma weights of ``cv::cvtColor(BGR2GRAY)``
+    Uses the Rec.601 luma weights of ``cv::cvtColor``
     (src/tracking.cpp:99-106); PIL's 'L' mode uses the same weights.
     uint8 ships 4x less host->device data than a float32 conversion;
     the device converts (ops/extractor.extract_orb).
+
+    ``is_rgb_order``: the Camera.RGB flag (tracking.cpp:73).  True =
+    the decoded channels are labeled correctly (the PNG spec case);
+    False = the file carries BGR-swapped channels (cameras that write
+    OpenCV buffers verbatim), so the R/B luma weights swap.
     """
     from PIL import Image
 
@@ -64,9 +69,13 @@ def load_image_gray(path: str, is_rgb_order: bool = False) -> np.ndarray:
         # saturate genuine 16-bit input to near-white.
         a = np.asarray(img)
         return (np.clip(a, 0, 65535).astype(np.uint16) >> 8).astype(np.uint8)
-    if img.mode != "L":
-        img = img.convert("L")
-    return np.asarray(img, dtype=np.uint8)
+    if img.mode == "L":
+        return np.asarray(img, dtype=np.uint8)
+    if not is_rgb_order:
+        a = np.asarray(img.convert("RGB"), dtype=np.float32)[..., ::-1]
+        gray = a[..., 0] * 0.299 + a[..., 1] * 0.587 + a[..., 2] * 0.114
+        return np.clip(np.round(gray), 0, 255).astype(np.uint8)
+    return np.asarray(img.convert("L"), dtype=np.uint8)
 
 
 def load_depth(path: str, depth_map_factor: float) -> np.ndarray:
@@ -97,12 +106,17 @@ def load_depth_raw(path: str) -> np.ndarray:
 
 
 class TumRgbdDataset:
-    """Iterable (timestamp, gray, depth) frames for a TUM sequence."""
+    """Iterable (timestamp, gray, depth) frames for a TUM sequence.
 
-    def __init__(self, sequence_dir: str, assoc_path: str, depth_map_factor: float):
+    ``is_rgb``: the Camera.RGB channel-order flag from the settings YAML
+    (config.CameraConfig.is_rgb; tracking.cpp:73)."""
+
+    def __init__(self, sequence_dir: str, assoc_path: str,
+                 depth_map_factor: float, is_rgb: bool = True):
         self.dir = sequence_dir
         self.assoc = parse_association(assoc_path)
         self.depth_map_factor = depth_map_factor
+        self.is_rgb = is_rgb
 
     def __len__(self):
         return len(self.assoc)
@@ -112,6 +126,6 @@ class TumRgbdDataset:
         dep = os.path.join(self.dir, self.assoc.depth_paths[i])
         return (
             self.assoc.timestamps[i],
-            load_image_gray(rgb),
+            load_image_gray(rgb, is_rgb_order=self.is_rgb),
             load_depth_raw(dep),
         )

@@ -86,6 +86,15 @@ def device_mesh(axis_name: str, length_divisor: Optional[int] = None):
     largest value that divides it (sharded axes must tile exactly —
     e.g. max_keyframes for retrieval, the padded point count for BA).
     Returns None when no more than one usable device exists.
+
+    Multi-process rule: every participating process must own at least
+    one device of any mesh its programs execute on, so trimming may
+    only drop WHOLE-HOST multiples (and never below the full host set)
+    — cutting mid-host would leave a later rank with zero addressable
+    mesh devices and deadlock the collective, and would also break the
+    process-major "ICI reduction first, one DCN hop" layout this mesh
+    exists to provide.  When no whole-host count divides the axis, the
+    caller gets None and takes its dense (replicated) fallback.
     """
     from jax.sharding import Mesh
 
@@ -94,8 +103,15 @@ def device_mesh(axis_name: str, length_divisor: Optional[int] = None):
     devs.sort(key=lambda d: (getattr(d, "process_index", 0), d.id))
     n = len(devs)
     if length_divisor is not None:
-        while n > 1 and length_divisor % n:
-            n -= 1
+        if jax.process_count() > 1:
+            per_host = max(1, len(jax.local_devices()))
+            if n != per_host * jax.process_count() or length_divisor % n:
+                # Only the full process-spanning mesh keeps every rank
+                # addressable; a non-dividing axis means no sharded mesh.
+                return None
+        else:
+            while n > 1 and length_divisor % n:
+                n -= 1
     if n <= 1:
         return None
     return Mesh(np.array(devs[:n]), (axis_name,))

@@ -50,8 +50,15 @@ class LoopCloser:
                 return False
         return self._impl.process(kf_id)
 
+    def tick(self) -> None:
+        """Advance any in-flight global BA by one chunk (called once per
+        drained frame batch — the tracking-overlap hook)."""
+        if self._impl is not None:
+            self._impl.tick()
+
     def flush(self) -> bool:
-        """Verify any detection still pending at sequence end."""
+        """Verify any detection still pending at sequence end and run
+        any in-flight global BA to completion."""
         if self._impl is None:
             return False
         return self._impl.flush()

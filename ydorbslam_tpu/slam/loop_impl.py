@@ -224,6 +224,77 @@ def _detect_body(
 
 
 @jax.jit
+def _merge_gba(m: MapState, T_new, p_new, pts, valid0, fid0, kf_count_start):
+    """Merge a finished (possibly long-running) global BA into the LIVE
+    map — the reference's post-BA spanning-tree propagation
+    (loopClosing.cpp:377-445): keyframes that existed when the BA
+    started take their optimized pose directly; keyframes inserted
+    DURING the BA window chain off their spanning-tree parent
+    (T_child<-w = T_child<-parent_old @ T_parent_old^-1 @ T_parent_new);
+    points follow either their own optimized position or their reference
+    keyframe's correction.  Slot-reuse staleness is guarded by the
+    frame-id snapshot ``fid0``: a keyframe culled + re-minted during the
+    BA is treated as new (chained), never overwritten with the stale
+    optimum.  ONE device program, zero host fetches.
+    """
+    K = m.K
+    T_now = m.kf_pose
+    same = m.kf_valid & valid0 & (m.kf_frame_id == fid0)
+    T_merged = jnp.where(same[:, None, None], T_new[:K], T_now)
+    parc = jnp.clip(m.parent, 0, K - 1)
+    # T_child_old @ T_parent_old^-1, frozen relative pose per keyframe.
+    T_rel = jnp.einsum("kij,kjl->kil", T_now, inv_T(T_now[parc]))
+
+    def body(_, carry):
+        T_m, res = carry
+        can = m.kf_valid & ~res & (m.parent >= 0) & res[parc]
+        prop = jnp.einsum("kij,kjl->kil", T_rel, T_m[parc])
+        T_m = jnp.where(can[:, None, None], prop, T_m)
+        return T_m, res | can
+
+    # Spanning-tree edges point to older keyframes; keyframes minted
+    # during one BA window form chains of bounded depth — 8 propagation
+    # rounds cover any realistic window (each round resolves one tree
+    # level below the already-resolved frontier).
+    T_merged, resolved = jax.lax.fori_loop(0, 8, body, (T_merged, same))
+    kf_pose = jnp.where(
+        (m.kf_valid & resolved)[:, None, None], T_merged, T_now
+    )
+
+    # Points optimized by the BA write back directly — unless their slot
+    # was culled + reused during the window (first_kf moved past the BA
+    # start count).
+    ptc = jnp.clip(pts, 0, m.M - 1)
+    direct_ok = (
+        (pts >= 0) & m.mp_valid[ptc] & (m.mp_first_kf[ptc] < kf_count_start)
+    )
+    row_w = jnp.where(direct_ok, ptc, m.M)
+    direct_mask = jnp.zeros((m.M,), bool).at[row_w].set(True, mode="drop")
+    mp_pos = m.mp_pos.at[row_w].set(
+        jnp.where(direct_ok[:, None], p_new, m.mp_pos[ptc]), mode="drop"
+    )
+    # Everything else follows its reference keyframe's correction
+    # (loopClosing.cpp:419-436).
+    refc = jnp.clip(m.mp_ref_kf, 0, K - 1)
+    T_ref_old = T_now[refc]
+    T_ref_new = kf_pose[refc]
+    p_cam = (
+        jnp.einsum("nij,nj->ni", T_ref_old[:, :3, :3], m.mp_pos)
+        + T_ref_old[:, :3, 3]
+    )
+    Tinv = inv_T(T_ref_new)
+    p_ind = (
+        jnp.einsum("nij,nj->ni", Tinv[:, :3, :3], p_cam) + Tinv[:, :3, 3]
+    )
+    ind_ok = (
+        m.mp_valid & ~direct_mask & (m.mp_ref_kf >= 0)
+        & resolved[refc] & m.kf_valid[refc]
+    )
+    mp_pos = jnp.where(ind_ok[:, None], p_ind, mp_pos)
+    return m._replace(kf_pose=kf_pose, mp_pos=mp_pos)
+
+
+@jax.jit
 def _correct_on_device(m: MapState, kf1, kf2, S_12):
     """Batched loop correction: corrected Sim3 for kf1's covisible
     group, group map points moved old-pose -> corrected-pose, keyframe
@@ -291,6 +362,19 @@ class LoopCloserImpl:
         # file, keyFrameDatabase.cpp:26-105).  Same gates either way.
         self._sharded_detect = None
         self.used_sharded_detect = False
+        self._gba = None  # in-flight global-BA state (see _start_global_ba)
+        # One worker thread owns the detection-result fetch: device_get
+        # through the remote tunnel costs a ~25 ms round trip even when
+        # the bytes are ready, and paying it on the tracking thread per
+        # keyframe was the whole loop-on throughput gap.  This is the
+        # array-world remnant of the reference's LoopClosing thread
+        # (loopClosing.cpp:10-27): compute stays on device, the fetch
+        # latency moves off the critical path.
+        import concurrent.futures
+
+        self._fetch_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="loop-fetch"
+        )
         from ..parallel.multihost import device_mesh
 
         K = system.cfg.capacity.max_keyframes
@@ -320,14 +404,19 @@ class LoopCloserImpl:
         sys = self.system
         cfg = sys.cfg
         closer = self.closer
+        self.tick()
         closed = self._poll_pending()
         if sys.n_keyframes - closer.last_loop_kf_count >= cfg.loop.min_kfs_between_loops:
             self._dispatch_detect(kf_id)
         return closed
 
     def flush(self) -> bool:
-        """Verify any still-pending detection (sequence end)."""
-        return self._poll_pending()
+        """Verify any still-pending detection and run any in-flight
+        global BA to completion (sequence end)."""
+        closed = self._poll_pending()
+        while self._gba is not None:
+            self.tick()
+        return closed
 
     def _dispatch_detect(self, kf_id: int) -> None:
         """Candidate scoring + covisibility-consistency update, one
@@ -354,17 +443,18 @@ class LoopCloserImpl:
                 bank_bits=sys.cfg.loop.retrieval_bank_bits,
             )
         self.closer.consistent_groups = (masks, counts.astype(jnp.int32))
+        # The worker thread absorbs the device->host round trip; the
+        # poll (one keyframe later) just reads the completed future.
+        fut = self._fetch_pool.submit(jax.device_get, (ids, consistent))
         snap = sys._snapshot()
-        self._pending = (
-            kf_id, int(snap["kf_frame_id"][kf_id]), ids, consistent,
-        )
+        self._pending = (kf_id, int(snap["kf_frame_id"][kf_id]), fut)
 
     def _poll_pending(self) -> bool:
         pending = getattr(self, "_pending", None)
         if pending is None:
             return False
         self._pending = None
-        kf_id, frame_id_at_dispatch, ids, consistent = pending
+        kf_id, frame_id_at_dispatch, fut = pending
         sys = self.system
         closer = self.closer
         # Staleness guard: verification runs one keyframe late against a
@@ -374,8 +464,9 @@ class LoopCloserImpl:
         snap = sys._snapshot()
         if (not bool(snap["kf_valid"][kf_id])
                 or int(snap["kf_frame_id"][kf_id]) != frame_id_at_dispatch):
+            fut.cancel()
             return False
-        ids_np, cons_np = jax.device_get((ids, consistent))
+        ids_np, cons_np = fut.result()
         cands = [int(i) for i, c in zip(ids_np, cons_np) if i >= 0 and c]
         if cands:
             sys.stats.loop_candidates += 1
@@ -468,8 +559,11 @@ class LoopCloserImpl:
             covis_np, kf_valid_np, parent_np, loop_edge_np,
         )
 
-        # Global BA (10 iterations, loopClosing.cpp:380).
-        sys.map = self._global_ba(sys.map, int(n_valid_pts))
+        # Global BA (10 iterations, loopClosing.cpp:380) — STARTED here,
+        # not run: LM chunks are dispatched one per drained frame batch
+        # (``tick``), overlapping the solve with tracking exactly like
+        # the reference's transient BA thread (loopClosing.cpp:334).
+        self._start_global_ba(sys.map, int(n_valid_pts))
         # Trajectory records referenced to pre-correction keyframe poses
         # stay valid: T_c_ref composes with the corrected keyframe pose.
 
@@ -551,23 +645,28 @@ class LoopCloserImpl:
         kf_pose = jnp.where(m.kf_valid[:, None, None], T_new, m.kf_pose)
         return m._replace(kf_pose=kf_pose, mp_pos=mp_pos)
 
-    def _global_ba(self, m: MapState, n_valid: int) -> MapState:
-        """Full-map BA (globalBundleAdjust, optimizer.cpp:353-357).
+    def _start_global_ba(self, m: MapState, n_valid: int) -> None:
+        """Arm the full-map BA (globalBundleAdjust, optimizer.cpp:353-357)
+        WITHOUT running it: the problem is gathered from the current map
+        and stashed; ``tick`` dispatches bounded LM chunks (one per
+        drained frame batch) and ``_finish_gba`` merges the result into
+        the then-current map — the array re-expression of the
+        reference's transient global-BA thread + post-BA spanning-tree
+        merge (loopClosing.cpp:334, 377-445).
 
         Point budget: ``capacity.global_ba_max_points``, selected by
         OBSERVATION COUNT when the map exceeds it (the best-constrained
         landmarks carry the solve; overflow is logged, never silent).
         Observations per point are compacted to ``global_ba_obs`` slots.
-        On a multi-device mesh the solve runs map-block-partitioned
-        (points sharded, psum-reduced camera system — SURVEY.md §2c P6);
-        either path executes in bounded LM chunks with an abort check
-        between chunks (the reference's interruptible global-BA thread,
-        loopClosing.cpp:334 + optimizer.cpp:17-19 — ``abort_global_ba``
-        on the LoopCloser requests an early stop)."""
+        On a multi-device mesh the chunks run map-block-partitioned
+        (points sharded, psum-reduced camera system — SURVEY.md §2c P6).
+        A NEW accepted loop while a BA is in flight replaces it — the
+        reference aborts the running thread the same way
+        (loopClosing.cpp:234-242)."""
         sys = self.system
         sys.stats.global_ba_runs += 1
         cfg = sys.cfg
-        from .mapping import apply_local_ba, build_local_ba
+        from .mapping import build_local_ba
 
         K = m.K
         win = jnp.where(m.kf_valid, jnp.arange(K, dtype=jnp.int32), -1)
@@ -586,26 +685,70 @@ class LoopCloserImpl:
         pts = jnp.where(
             jnp.take(rank, pts) >= 0, pts.astype(jnp.int32), -1
         )
-        prob, obs_sel = build_local_ba(
+        prob, _ = build_local_ba(
             m, win, fixed, pts, sys.inv_sigma2_tab,
             obs_cap=cfg.capacity.global_ba_obs,
         )
         from ..parallel.multihost import device_mesh
 
-        should_abort = getattr(self.closer, "should_abort_ba", None)
-        mesh = device_mesh("pts")
-        if mesh is not None:
-            from ..parallel.ba_sharded import sharded_bundle_adjust
+        self._gba = dict(
+            prob=prob, pts=pts,
+            T=prob.T_cw, p=prob.p_w, lam=jnp.float32(1e-4),
+            done=0, iters=cfg.optim.global_ba_iters, chunk=5,
+            mesh=device_mesh("pts"),
+            # Staleness/merge snapshots.  COPIES, not references: the
+            # live map buffers are donated to the next mapping_step and
+            # would be deleted under this dict's feet.
+            valid0=jnp.copy(m.kf_valid), fid0=jnp.copy(m.kf_frame_id),
+            kf_count0=jnp.int32(sys.n_keyframes),
+        )
 
-            T_new, p_new, outlier = sharded_bundle_adjust(
-                mesh, sys.cam, prob, iters=cfg.optim.global_ba_iters,
-                chunk=5, should_abort=should_abort,
+    def tick(self) -> None:
+        """Advance any in-flight global BA by ONE LM chunk (async
+        dispatch, no host sync) and merge when done.  Called at every
+        drained frame batch — this is what overlaps the solve with
+        tracking (SURVEY.md §2c P3)."""
+        g = self._gba
+        if g is None:
+            return
+        sys = self.system
+        should_abort = getattr(self.closer, "should_abort_ba", None)
+        if g["mesh"] is not None:
+            from ..parallel.ba_sharded import _sharded_lm_chunk
+
+            step = _sharded_lm_chunk(g["mesh"], g["chunk"], True)
+            prob = g["prob"]
+            g["T"], g["p"], g["lam"] = step(
+                sys.cam, g["T"], prob.cam_fixed, prob.cam_valid, g["p"],
+                prob.pt_valid, prob.obs_cam, prob.obs_uvr,
+                prob.obs_inv_sigma2, prob.obs_stereo, prob.obs_valid,
+                g["lam"],
             )
         else:
-            from ..optim.schur import chunked_global_ba
+            from ..optim.schur import _lm_chunk
 
-            T_new, p_new, outlier = chunked_global_ba(
-                sys.cam, prob, iters=cfg.optim.global_ba_iters,
-                chunk=5, should_abort=should_abort,
+            g["T"], g["p"], g["lam"] = _lm_chunk(
+                sys.cam, g["prob"], g["T"], g["p"], g["lam"],
+                chunk=g["chunk"],
             )
-        return apply_local_ba(m, win, pts, T_new[: K], p_new, outlier, obs_sel)
+        g["done"] += g["chunk"]
+        aborted = (
+            should_abort is not None
+            and g["done"] < g["iters"]
+            and should_abort()
+        )
+        if g["done"] >= g["iters"] or aborted:
+            self._finish_gba()
+
+    def _finish_gba(self) -> None:
+        """Apply the finished global BA to the LIVE map via the one-shot
+        merge program (``_merge_gba``): direct pose/point write-back for
+        state that existed at BA start, spanning-tree chaining for
+        keyframes minted during the window (loopClosing.cpp:377-445)."""
+        g = self._gba
+        self._gba = None
+        sys = self.system
+        sys.map = _merge_gba(
+            sys.map, g["T"], g["p"], g["pts"], g["valid0"], g["fid0"],
+            g["kf_count0"],
+        )

@@ -458,7 +458,15 @@ class SlamSystem:
         self.records = []
         self._pending_snap = None
         self._snap = None
-        self.stats.resets += 1
+        # Fresh counter epoch: run_stats() recomputes frame-derived
+        # fields from the (now cleared) records, so carrying pre-reset
+        # inlier/keyframe counters would mix epochs (inlier_frames could
+        # exceed frames_total).  Only the reset count itself survives.
+        from .stats import RunStats
+
+        resets = self.stats.resets + 1
+        self.stats = RunStats()
+        self.stats.resets = resets
 
     def shutdown(self):
         """Drain the pipelined queue; no threads to join
@@ -707,6 +715,11 @@ class SlamSystem:
             self._run_deferred_ba()
         if self._batch_inserted:
             self._refresh_trkset()
+        if self.loop_closer is not None:
+            # One global-BA LM chunk per drained batch: in-flight loop
+            # BAs overlap tracking instead of stalling it (the
+            # reference's transient BA thread, loopClosing.cpp:334).
+            self.loop_closer.tick()
 
 
     @property
@@ -1094,6 +1107,20 @@ class SlamSystem:
                 feats.depth > 0, ok & feats.valid,
                 n_hypotheses=cfg.capacity.ransac_batch, min_inliers=10,
             )
+            if not bool(res.ok):
+                # Depth-sparse fallback: 2D-3D DLT-PnP (the reference's
+                # EPnP relocalization solver, src/pnpSolver.cpp).  The
+                # primary 3-point 3D-3D alignment needs measured frame
+                # depth at the minimal-set picks — a far or
+                # depth-dropout frame can match plenty of map points yet
+                # offer too few depths to seed hypotheses from.
+                from ..optim.pnp import ransac_pnp
+
+                self._reloc_key, sub2 = jrandom.split(self._reloc_key)
+                res = ransac_pnp(
+                    sub2, self.cam, p_w, feats.uv, sigma2, ok & feats.valid,
+                    n_hypotheses=cfg.capacity.ransac_batch, min_inliers=10,
+                )
             if not bool(res.ok):
                 continue
             po = PoseObservations(
