@@ -435,6 +435,10 @@ def masked_best2_levels_pallas(
 A_U, A_V, A_UR, A_RN, A_RW, A_OLO, A_OHI, A_VALID = range(8)
 # b_attr lanes: [u, v, right_u, octave, valid, 0, 0, 0]
 B_U, B_V, B_UR, B_OCT, B_VALID = range(5)
+# epipolar-mode a_attr lanes: [line_a, line_b, line_c, thr(=3.84*den2),
+# octave, valid, 0, 0]; b_attr reuses [u, v, sigma2, octave, valid].
+E_LA, E_LB, E_LC, E_THR, E_OCT, E_VALID = range(6)
+B_SIG2 = B_UR  # lane 2 carries sigma^2(octave_b) in epipolar mode
 
 
 def _proj_best2_kernel(
@@ -575,4 +579,155 @@ def proj_best2_pallas(
     return (
         (i_n.reshape(M), bn.reshape(M), sn.reshape(M)),
         (iw.reshape(M), bw.reshape(M), sw.reshape(M)),
+    )
+
+
+# ---------------------------------------------------------------------
+# Batched pair-gated best/second search (mapping hot path).
+#
+# Local mapping's triangulation and fusion searches run the SAME
+# (N, N) gated Hamming sweep against B ~= 10 covisible neighbors per
+# keyframe (slam/triangulate.py; reference hot loops
+# src/orbMatcher.cpp:463-565 and :682-745).  The XLA formulation
+# materializes B (N, N, 8) XOR intermediates plus B (N, N) geometric
+# masks in HBM — measured as the bulk of the ~40 ms mapping_prep cost.
+# This kernel adds a leading pair axis to the proj_best2 design: grid
+# (B, M/TILE_M, N/TILE_N), gates evaluated on-chip from O(M)+O(N)
+# attribute rows, one (TILE_M, TILE_N) working set per step.  Two gate
+# modes share the body:
+#   * "proj": projection window + octave range (fusion searches,
+#     orbMatcher.cpp:682-745) — single radius, no stereo column.
+#   * "epi": point-to-epipolar-line distance num^2 < thr * sigma2(oct_b)
+#     with |oct_a - oct_b| <= 1 (triangulation search,
+#     orbMatcher.cpp:463-565 and its checkEpipolarDist :808-819).
+# ---------------------------------------------------------------------
+
+
+def _pair_best2_kernel(
+    a_desc_ref, a_attr_ref, b_desc_ref, b_attr_ref,
+    best_ref, second_ref, idx_ref, *, mode: str,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        big = jnp.full((TILE_M,), 10_000, jnp.int32)
+        best_ref[b, i, :] = big
+        second_ref[b, i, :] = big
+        idx_ref[b, i, :] = jnp.full((TILE_M,), -1, jnp.int32)
+
+    a = a_desc_ref[0]          # (TILE_M, 8) u32
+    at = a_attr_ref[0]         # (TILE_M, 8) f32
+    bd = b_desc_ref[0]         # (8, TILE_N) u32 (transposed)
+    bt = b_attr_ref[0]         # (8, TILE_N) f32 (transposed)
+    if mode == "proj":
+        au = at[:, A_U][:, None]
+        av = at[:, A_V][:, None]
+        rad = at[:, A_RN][:, None]
+        alo = at[:, A_OLO][:, None]
+        ahi = at[:, A_OHI][:, None]
+        aval = at[:, A_VALID][:, None] > 0.5
+        bu = bt[B_U, :][None, :]
+        bv = bt[B_V, :][None, :]
+        boct = bt[B_OCT, :][None, :]
+        bval = bt[B_VALID, :][None, :] > 0.5
+        gate = (
+            aval & bval
+            & (boct >= alo) & (boct <= ahi)
+            & (jnp.abs(bu - au) <= rad) & (jnp.abs(bv - av) <= rad)
+        )
+    else:  # "epi"
+        la = at[:, E_LA][:, None]
+        lb = at[:, E_LB][:, None]
+        lc = at[:, E_LC][:, None]
+        thr = at[:, E_THR][:, None]
+        aoct = at[:, E_OCT][:, None]
+        aval = at[:, E_VALID][:, None] > 0.5
+        bu = bt[B_U, :][None, :]
+        bv = bt[B_V, :][None, :]
+        bs2 = bt[B_SIG2, :][None, :]
+        boct = bt[B_OCT, :][None, :]
+        bval = bt[B_VALID, :][None, :] > 0.5
+        num = la * bu + lb * bv + lc
+        gate = (
+            aval & bval
+            & (jnp.abs(boct - aoct) <= 1.0)
+            & (num * num < thr * bs2)
+        )
+
+    d0 = jnp.zeros((TILE_M, TILE_N), jnp.int32)
+    for w in range(8):
+        x = jnp.bitwise_xor(a[:, w][:, None], bd[w, :][None, :])
+        d0 = d0 + jax.lax.population_count(x).astype(jnp.int32)
+    d = jnp.where(gate, d0, 10_000)
+
+    # Mosaic index-reductions are float32-only; d <= 256 exact.
+    df = d.astype(jnp.float32)
+    arg_local = jnp.argmin(df, axis=1).astype(jnp.int32)
+    tile_min = jnp.min(df, axis=1).astype(jnp.int32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    d2 = jnp.where(cols == arg_local[:, None], 10_000, d)
+    tile_second = jnp.min(d2.astype(jnp.float32), axis=1).astype(jnp.int32)
+    tile_arg = arg_local + j * TILE_N
+    best = best_ref[b, i, :]
+    second = second_ref[b, i, :]
+    idx = idx_ref[b, i, :]
+    best_ref[b, i, :] = jnp.minimum(best, tile_min)
+    idx_ref[b, i, :] = jnp.where(tile_min < best, tile_arg, idx)
+    loser = jnp.where(tile_min < best, best, tile_min)
+    second_ref[b, i, :] = jnp.minimum(jnp.minimum(second, loser), tile_second)
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def pair_best2_pallas(
+    desc_a: jax.Array, attr_a: jax.Array,
+    desc_b: jax.Array, attr_b: jax.Array,
+    mode: str = "proj",
+):
+    """Per-pair gated best/second search over B (a, b) descriptor sets.
+
+    desc_a (B, M, 8) u32 + attr_a (B, M, 8) f32; desc_b (B, N, 8) u32 +
+    attr_b (B, N, 8) f32 (lane layouts above).  Returns
+    (idx (B, M), best (B, M), second (B, M)) int32 — per a-row best and
+    second-best gated candidate in the SAME pair; idx = -1 when a row
+    has no gated candidate (best/second = 10000 sentinels).
+    """
+    assert mode in ("proj", "epi"), mode
+    B, M = desc_a.shape[0], desc_a.shape[1]
+    N = desc_b.shape[1]
+    assert M % TILE_M == 0 and N % TILE_N == 0, (M, N)
+    G = M // TILE_M
+    NC = N // TILE_N
+    out = pl.pallas_call(
+        functools.partial(_pair_best2_kernel, mode=mode),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((B, G, TILE_M), jnp.int32) for _ in range(3)
+        ),
+        grid_spec=pl.GridSpec(
+            grid=(B, G, NC),
+            in_specs=[
+                pl.BlockSpec((1, TILE_M, 8), lambda b, i, j: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TILE_M, 8), lambda b, i, j: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, TILE_N), lambda b, i, j: (b, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, TILE_N), lambda b, i, j: (b, 0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=tuple(
+                # Whole-array blocks; each step writes row (b, i),
+                # revisited across the j sweep.
+                pl.BlockSpec((B, G, TILE_M), lambda b, i, j: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+                for _ in range(3)
+            ),
+        ),
+        interpret=_use_interpret(),
+    )(desc_a, attr_a, desc_b.transpose(0, 2, 1), attr_b.transpose(0, 2, 1))
+    idx, best, second = out[2], out[0], out[1]
+    return (
+        idx.reshape(B, M), best.reshape(B, M), second.reshape(B, M),
     )

@@ -29,8 +29,9 @@ import jax.numpy as jnp
 from ..geometry.camera import CameraIntrinsics
 from ..geometry.se3 import inv_T
 from ..ops.hamming import INVALID_DIST, masked_distance_matrix
+from ..ops.pallas_kernels import pair_best2_pallas
 from .map_state import MapState, add_observations, alloc_slots, refresh_points
-from .matchers import predict_scale_level, project_sources
+from .matchers import _use_pallas_matchers, predict_scale_level, project_sources
 
 N_TRIANG_NEIGHBORS = 10  # stereo neighbor count (localMapping.cpp:114)
 CHI2_MONO = 5.991
@@ -95,70 +96,73 @@ def _triangulate_pairs(cam, T1, T2, uv1, uv2):
     return jax.vmap(one)(uv1, uv2)
 
 
-def _tri_candidate_fields(
-    m: MapState, kf1, kf2, active, cam: CameraIntrinsics,
-    scale_factor: float, n_levels: int, ratio: float = 0.6,
+def _tri_pair_setup(
+    m: MapState, kf1, kf2, cam: CameraIntrinsics, n_levels: int,
+    scale_factor: float,
 ):
-    """Pure per-neighbor-pair triangulation candidates — no map writes.
+    """Per-pair epipolar-gate inputs shared by the dense (CPU) and
+    Pallas (TPU) triangulation searches: epipolar lines of kf1's
+    keypoints in kf2's image, squared-threshold row scale, and the
+    free-keypoint masks (localMapping.cpp:128)."""
+    sf = scale_factor ** jnp.arange(n_levels, dtype=jnp.float32)
+    sigma2 = sf * sf
+    T1, T2 = m.kf_pose[kf1], m.kf_pose[kf2]
+    free1 = m.kf_kp_valid[kf1] & (m.kf_mp[kf1] < 0)
+    free2 = m.kf_kp_valid[kf2] & (m.kf_mp[kf2] < 0)
+    uv1, uv2 = m.kf_uv[kf1], m.kf_uv[kf2]
+    F21 = _fundamental_matrix(cam, T1, T2)
+    x1h = jnp.concatenate([uv1, jnp.ones((m.N, 1))], -1)  # (N,3)
+    lines = x1h @ F21.T  # (N,3) epipolar lines in image 2
+    # Compare num^2 < 3.84 sigma^2 den^2 instead of dividing: saves a
+    # (N,N) divide+sqrt on the VPU (orbMatcher.cpp:808-819 math).
+    den2 = lines[:, 0] ** 2 + lines[:, 1] ** 2
+    thr = 3.84 * jnp.maximum(den2, 1e-18)
+    return dict(
+        sigma2=sigma2, free1=free1, free2=free2, uv2=uv2, lines=lines,
+        thr=thr,
+    )
 
-    Returns (good (N,) bool, best2 (N,) i32, X (N,3)): for each kf1
-    keypoint, whether an accepted new point exists against kf2, the
-    matched kf2 keypoint, and its world position.  vmap-able over kf2
-    (``triangulate_neighbors_batch``): the (N, N) epipolar/Hamming
-    matrices for all neighbors run as ONE batched program instead of a
-    sequential ``fori_loop`` (localMapping.cpp:109-252's per-neighbor
-    loop is a latency chain on TPU)."""
+
+def _tri_select(b1, b2, idx, ratio: float, N: int):
+    """Shared post-search selection: TH_LOW + best/second ratio + the
+    kf2-side collision resolve, from per-row (best, second, argbest).
+
+    If two kf1 keypoints claim the same kf2 keypoint, keep only the
+    closer pair — otherwise the loser's new point gets an observation of
+    (kf2, kp) that kf_mp never mirrors, breaking the obs<->binding
+    invariant.  Ties go to the lower kf1 row (matches the dense argmin).
+    """
+    # Best/second ratio (the matcher constructed at localMapping.cpp:112);
+    # second-best clamps to 256 — the reference's bestDist2 init — so
+    # lone candidates face the same gate.  TH_LOW=50 (orbMatcher.cpp:8).
+    b2c = jnp.minimum(b2, 256)
+    matched = (
+        (idx >= 0)
+        & (b1 <= 50)
+        & (b1.astype(jnp.float32) < ratio * b2c.astype(jnp.float32))
+    )
+    rows = jnp.arange(N, dtype=jnp.int32)
+    big = jnp.int32(INVALID_DIST * 16384)
+    key = jnp.where(matched, b1 * N + rows, big)
+    col = jnp.where(matched, idx, N)
+    colmin = jnp.full((N,), big, jnp.int32).at[col].min(key, mode="drop")
+    matched &= colmin[jnp.clip(idx, 0, N - 1)] == key
+    return matched, jnp.clip(idx, 0, N - 1)
+
+
+def _tri_geom(
+    m: MapState, kf1, kf2, active, matched, best2,
+    cam: CameraIntrinsics, scale_factor: float, n_levels: int,
+):
+    """Triangulation + acceptance checks for selected pairs (shared by
+    both search paths): parallax decision, stereo fallbacks, two-view
+    chi2/scale gates (localMapping.cpp:176-244)."""
     sf = scale_factor ** jnp.arange(n_levels, dtype=jnp.float32)
     sigma2 = sf * sf
     T1, T2 = m.kf_pose[kf1], m.kf_pose[kf2]
     c1, c2 = _camera_center(T1), _camera_center(T2)
     baseline = jnp.linalg.norm(c1 - c2)
-
-    # Only keypoints without a map point participate (localMapping.cpp:128).
-    free1 = m.kf_kp_valid[kf1] & (m.kf_mp[kf1] < 0)
-    free2 = m.kf_kp_valid[kf2] & (m.kf_mp[kf2] < 0)
-
     uv1, uv2 = m.kf_uv[kf1], m.kf_uv[kf2]
-    F21 = _fundamental_matrix(cam, T1, T2)
-    x1h = jnp.concatenate([uv1, jnp.ones((m.N, 1))], -1)  # (N,3)
-    lines = x1h @ F21.T  # (N,3) epipolar lines in image 2
-    num = jnp.abs(
-        lines[:, None, 0] * uv2[None, :, 0]
-        + lines[:, None, 1] * uv2[None, :, 1]
-        + lines[:, None, 2]
-    )
-    # Compare num^2 < 3.84 sigma^2 den^2 instead of dividing: saves a
-    # (N,N) divide+sqrt on the VPU (orbMatcher.cpp:808-819 math).
-    den2 = (lines[:, 0] ** 2 + lines[:, 1] ** 2)[:, None]
-    epi_ok = num * num < (3.84 * sigma2[m.kf_octave[kf2]][None, :]) * jnp.maximum(
-        den2, 1e-18
-    )
-    oct_ok = jnp.abs(m.kf_octave[kf1][:, None] - m.kf_octave[kf2][None, :]) <= 1
-
-    d = masked_distance_matrix(
-        m.kf_desc[kf1], m.kf_desc[kf2], free1, free2, epi_ok & oct_ok
-    )
-    vals2, _ = jax.lax.top_k(-d, 2)
-    best2 = jnp.argmin(d, axis=1)
-    bestd = -vals2[:, 0]
-    # Best/second ratio 0.6 (the matcher constructed at
-    # localMapping.cpp:112); second-best clamps to 256 — the reference's
-    # bestDist2 init — so lone candidates face the same gate.
-    secondd = jnp.minimum(-vals2[:, 1], 256)
-    matched = (bestd <= 50) & (  # TH_LOW (orbMatcher.cpp:8)
-        bestd.astype(jnp.float32) < ratio * secondd.astype(jnp.float32)
-    )
-    # Resolve kf2-side collisions: if two kf1 keypoints claim the same
-    # kf2 keypoint, keep only the closer pair — otherwise the loser's
-    # new point gets an observation of (kf2, kp) that kf_mp never
-    # mirrors, breaking the obs<->binding invariant.
-    rows1 = jnp.arange(m.N)
-    only_best = jnp.full_like(d, INVALID_DIST).at[rows1, best2].min(
-        jnp.where(matched, bestd, INVALID_DIST)
-    )
-    col_winner = jnp.argmin(only_best, axis=0)  # (N,) kf1 row per kf2 kp
-    matched &= col_winner[best2] == rows1
-
     uv2m = uv2[best2]
     X_tri = _triangulate_pairs(cam, T1, T2, uv1, uv2m)
 
@@ -251,6 +255,70 @@ def _tri_candidate_fields(
     return good, best2, X
 
 
+def _tri_candidate_fields(
+    m: MapState, kf1, kf2, active, cam: CameraIntrinsics,
+    scale_factor: float, n_levels: int, ratio: float = 0.6,
+):
+    """Dense per-neighbor-pair triangulation candidates (CPU path).
+
+    Returns (good (N,) bool, best2 (N,) i32, X (N,3)): for each kf1
+    keypoint, whether an accepted new point exists against kf2, the
+    matched kf2 keypoint, and its world position.  vmap-able over kf2;
+    on TPU ``triangulate_neighbors_batch`` routes the search through the
+    pair_best2_pallas kernel instead of the (N, N) masked matrix."""
+    s = _tri_pair_setup(m, kf1, kf2, cam, n_levels, scale_factor)
+    lines, uv2 = s["lines"], s["uv2"]
+    num = (
+        lines[:, None, 0] * uv2[None, :, 0]
+        + lines[:, None, 1] * uv2[None, :, 1]
+        + lines[:, None, 2]
+    )
+    epi_ok = num * num < s["thr"][:, None] * s["sigma2"][m.kf_octave[kf2]][None, :]
+    oct_ok = jnp.abs(m.kf_octave[kf1][:, None] - m.kf_octave[kf2][None, :]) <= 1
+    d = masked_distance_matrix(
+        m.kf_desc[kf1], m.kf_desc[kf2], s["free1"], s["free2"],
+        epi_ok & oct_ok,
+    )
+    vals2, idxs = jax.lax.top_k(-d, 2)
+    b1, b2 = -vals2[:, 0], -vals2[:, 1]
+    idx = jnp.where(b1 < INVALID_DIST, idxs[:, 0], -1)
+    matched, best2 = _tri_select(b1, b2, idx, ratio, m.N)
+    return _tri_geom(
+        m, kf1, kf2, active, matched, best2, cam, scale_factor, n_levels
+    )
+
+
+def _tri_attrs(
+    m: MapState, kf1, kf2, active, cam: CameraIntrinsics, n_levels: int,
+    scale_factor: float,
+):
+    """Pack the epipolar gates as pair_best2_pallas "epi" attribute rows
+    (per-pair O(N) vectors; the (N, N) comparisons move on-chip)."""
+    s = _tri_pair_setup(m, kf1, kf2, cam, n_levels, scale_factor)
+    f = jnp.float32
+    z = jnp.zeros((m.N,), f)
+    lines = s["lines"]
+    a_attr = jnp.stack(
+        [
+            lines[:, 0].astype(f), lines[:, 1].astype(f),
+            lines[:, 2].astype(f), s["thr"].astype(f),
+            m.kf_octave[kf1].astype(f),
+            (s["free1"] & active).astype(f), z, z,
+        ],
+        -1,
+    )
+    oct2 = m.kf_octave[kf2]
+    b_attr = jnp.stack(
+        [
+            s["uv2"][:, 0].astype(f), s["uv2"][:, 1].astype(f),
+            s["sigma2"][oct2], oct2.astype(f), s["free2"].astype(f),
+            z, z, z,
+        ],
+        -1,
+    )
+    return a_attr, b_attr
+
+
 def triangulate_neighbors_batch(
     m: MapState,
     kf1,
@@ -274,11 +342,29 @@ def triangulate_neighbors_batch(
     afterwards), which can only drop a handful of matches, never corrupt
     state."""
     kf2c = jnp.clip(nids, 0, m.K - 1)
-    good, best2, X = jax.vmap(
-        lambda k2, act: _tri_candidate_fields(
-            m, kf1, k2, act, cam, scale_factor, n_levels, ratio=ratio
-        )
-    )(kf2c, nok)  # (B,N), (B,N), (B,N,3)
+    if _use_pallas_matchers():
+        B = nids.shape[0]
+        a_attr, b_attr = jax.vmap(
+            lambda k2, act: _tri_attrs(
+                m, kf1, k2, act, cam, n_levels, scale_factor
+            )
+        )(kf2c, nok)  # (B,N,8) x2
+        desc_a = jnp.broadcast_to(m.kf_desc[kf1][None], (B, m.N, 8))
+        idx, b1, b2 = pair_best2_pallas(
+            desc_a, a_attr, m.kf_desc[kf2c], b_attr, mode="epi"
+        )  # (B,N) x3
+        good, best2, X = jax.vmap(
+            lambda k2, act, i, d1, d2: _tri_geom(
+                m, kf1, k2, act, *_tri_select(d1, d2, i, ratio, m.N),
+                cam, scale_factor, n_levels,
+            )
+        )(kf2c, nok, idx, b1, b2)
+    else:
+        good, best2, X = jax.vmap(
+            lambda k2, act: _tri_candidate_fields(
+                m, kf1, k2, act, cam, scale_factor, n_levels, ratio=ratio
+            )
+        )(kf2c, nok)  # (B,N), (B,N), (B,N,3)
 
     pick = jnp.argmax(good, axis=0)  # (N,) first accepting neighbor
     any_good = jnp.any(good, axis=0)
@@ -340,15 +426,14 @@ def refresh_kf_points(
     )
 
 
-def _fuse_candidate_fields(
-    m: MapState, src_kf, dst_kf, active, cam: CameraIntrinsics,
+def _fuse_pair_setup(
+    m: MapState, src_kf, dst_kf, cam: CameraIntrinsics,
     scale_factor: float, n_levels: int,
 ):
-    """Pure fuse-by-projection candidates — no map writes.
-
-    For each dst keypoint j: (bound (N,) bool, cand_mp (N,) i32 the
-    source map point claiming j, who_d (N,) i32 its Hamming distance).
-    vmap-able over either side (``fuse_neighbors_batch``)."""
+    """Per-pair fuse-by-projection gate inputs shared by the dense and
+    Pallas searches: src_kf's bound points projected into dst_kf, the
+    scale-predicted search radius and octave range, and the composite
+    source validity (frustum + distance band + not-already-observed)."""
     sf = scale_factor ** jnp.arange(n_levels, dtype=jnp.float32)
     ids = m.kf_mp[src_kf]  # (N,)
     idc = jnp.clip(ids, 0, m.M - 1)
@@ -361,33 +446,88 @@ def _fuse_candidate_fields(
     band_ok = (dist >= 0.8 * m.mp_min_dist[idc]) & (dist <= 1.2 * m.mp_max_dist[idc])
     pred = predict_scale_level(dist, 1.2 * m.mp_max_dist[idc], n_levels, scale_factor)
     radius = 3.0 * sf[pred]
-    # Window + octave mask against dst keypoints.
-    du = jnp.abs(m.kf_uv[dst_kf][None, :, 0] - proj.uv[:, None, 0])
-    dv = jnp.abs(m.kf_uv[dst_kf][None, :, 1] - proj.uv[:, None, 1])
-    pm = (du <= radius[:, None]) & (dv <= radius[:, None])
-    pm &= (m.kf_octave[dst_kf][None, :] >= (pred - 1)[:, None]) & (
-        m.kf_octave[dst_kf][None, :] <= pred[:, None]
-    )
     # Already-observed points must not rebind (reference skips points
     # already in the target keyframe).
     already = jnp.any(m.mp_obs_kf[idc] == dst_kf, axis=-1)
     valid_src = pt_ok & proj.valid & band_ok & ~already
+    return dict(
+        ids=ids, idc=idc, uv=proj.uv, radius=radius, pred=pred,
+        valid_src=valid_src,
+    )
+
+
+def _fuse_select(idx, b1, active, ids, N: int):
+    """Shared post-search resolution: TH_LOW gate (fuse uses TH_LOW,
+    orbMatcher.cpp:737) then one source point per dst keypoint (min
+    distance, ties to the lower src row).  Returns
+    (bound (N,) bool, cand_mp (N,) i32, who_d (N,) i32) over dst
+    keypoints."""
+    hit = (idx >= 0) & (b1 <= 50)
+    rows = jnp.arange(N, dtype=jnp.int32)
+    big = jnp.int32(INVALID_DIST * 16384)
+    key = jnp.where(hit, b1 * N + rows, big)
+    col = jnp.where(hit, idx, N)
+    colmin = jnp.full((N,), big, jnp.int32).at[col].min(key, mode="drop")
+    bound = (colmin < big) & active
+    who = jnp.where(bound, colmin % N, 0)
+    who_d = jnp.where(bound, colmin // N, INVALID_DIST)
+    return bound, ids[who], who_d
+
+
+def _fuse_attrs(
+    m: MapState, src_kf, dst_kf, cam: CameraIntrinsics,
+    scale_factor: float, n_levels: int,
+):
+    """Pack the fuse gates as pair_best2_pallas "proj" attribute rows."""
+    s = _fuse_pair_setup(m, src_kf, dst_kf, cam, scale_factor, n_levels)
+    f = jnp.float32
+    z = jnp.zeros((m.N,), f)
+    rad = s["radius"].astype(f)
+    a_attr = jnp.stack(
+        [
+            s["uv"][:, 0].astype(f), s["uv"][:, 1].astype(f), z,
+            rad, rad,
+            (s["pred"] - 1).astype(f), s["pred"].astype(f),
+            s["valid_src"].astype(f),
+        ],
+        -1,
+    )
+    b_attr = jnp.stack(
+        [
+            m.kf_uv[dst_kf][:, 0].astype(f), m.kf_uv[dst_kf][:, 1].astype(f),
+            z, m.kf_octave[dst_kf].astype(f),
+            m.kf_kp_valid[dst_kf].astype(f), z, z, z,
+        ],
+        -1,
+    )
+    return a_attr, b_attr
+
+
+def _fuse_candidate_fields(
+    m: MapState, src_kf, dst_kf, active, cam: CameraIntrinsics,
+    scale_factor: float, n_levels: int,
+):
+    """Dense fuse-by-projection candidates (CPU path) — no map writes.
+
+    For each dst keypoint j: (bound (N,) bool, cand_mp (N,) i32 the
+    source map point claiming j, who_d (N,) i32 its Hamming distance).
+    vmap-able over either side (``fuse_neighbors_batch``)."""
+    s = _fuse_pair_setup(m, src_kf, dst_kf, cam, scale_factor, n_levels)
+    radius, pred = s["radius"], s["pred"]
+    du = jnp.abs(m.kf_uv[dst_kf][None, :, 0] - s["uv"][:, None, 0])
+    dv = jnp.abs(m.kf_uv[dst_kf][None, :, 1] - s["uv"][:, None, 1])
+    pm = (du <= radius[:, None]) & (dv <= radius[:, None])
+    pm &= (m.kf_octave[dst_kf][None, :] >= (pred - 1)[:, None]) & (
+        m.kf_octave[dst_kf][None, :] <= pred[:, None]
+    )
     d = masked_distance_matrix(
-        m.mp_desc[idc], m.kf_desc[dst_kf], valid_src, m.kf_kp_valid[dst_kf], pm
+        m.mp_desc[s["idc"]], m.kf_desc[dst_kf], s["valid_src"],
+        m.kf_kp_valid[dst_kf], pm,
     )
     best_j = jnp.argmin(d, axis=1)
     best_d = jnp.take_along_axis(d, best_j[:, None], axis=1)[:, 0]
-    hit = best_d <= 50  # TH_LOW (fuse uses TH_LOW, orbMatcher.cpp:737)
-
-    # Resolve: one source point per dst keypoint (min dist).
-    src_rows = jnp.arange(m.N)
-    only_best = jnp.full_like(d, INVALID_DIST).at[src_rows, best_j].set(
-        jnp.where(hit, best_d, INVALID_DIST)
-    )
-    who = jnp.argmin(only_best, axis=0)  # (N_dst,) src row
-    who_d = jnp.take_along_axis(only_best, who[None, :], axis=0)[0]
-    bound = (who_d < INVALID_DIST) & active  # dst kp j gets ids[who[j]]
-    return bound, ids[who], who_d
+    idx = jnp.where(best_d < INVALID_DIST, best_j, -1)
+    return _fuse_select(idx, best_d, active, s["ids"], m.N)
 
 
 def fuse_into_kf_body(
@@ -467,11 +607,26 @@ def fuse_neighbors_batch(
     n_obs_tab = jnp.sum(m.mp_obs_kf >= 0, axis=-1)  # (M,)
 
     # ---------------- OUT: kf1 -> each neighbor ----------------
-    bound, cand, _ = jax.vmap(
-        lambda k2, act: _fuse_candidate_fields(
-            m, kf1, k2, act, cam, scale_factor, n_levels
+    if _use_pallas_matchers():
+        ids1 = m.kf_mp[kf1]
+        a_attr, b_attr = jax.vmap(
+            lambda k2: _fuse_attrs(m, kf1, k2, cam, scale_factor, n_levels)
+        )(kf2c)
+        desc_a = jnp.broadcast_to(
+            m.mp_desc[jnp.clip(ids1, 0, m.M - 1)][None], (B, m.N, 8)
         )
-    )(kf2c, nok)  # (B,N), (B,N)
+        idx_o, b1_o, _ = pair_best2_pallas(
+            desc_a, a_attr, m.kf_desc[kf2c], b_attr, mode="proj"
+        )
+        bound, cand, _ = jax.vmap(
+            lambda i, d1, act: _fuse_select(i, d1, act, ids1, m.N)
+        )(idx_o, b1_o, nok)
+    else:
+        bound, cand, _ = jax.vmap(
+            lambda k2, act: _fuse_candidate_fields(
+                m, kf1, k2, act, cam, scale_factor, n_levels
+            )
+        )(kf2c, nok)  # (B,N), (B,N)
     existing = m.kf_mp[kf2c]  # (B,N)
     empty_slot = existing < 0
     bind = bound & empty_slot
@@ -512,11 +667,25 @@ def fuse_neighbors_batch(
     # see them — matching the reference's sequential loop, which always
     # reads current counts (localMapping.cpp:253-294).
     n_obs_tab = jnp.sum(m.mp_obs_kf >= 0, axis=-1)
-    bound_i, cand_i, dist_i = jax.vmap(
-        lambda k2, act: _fuse_candidate_fields(
-            m, k2, kf1, act, cam, scale_factor, n_levels
+    if _use_pallas_matchers():
+        idsB = m.kf_mp[kf2c]  # (B,N)
+        a_attr_i, b_attr_i = jax.vmap(
+            lambda k2: _fuse_attrs(m, k2, kf1, cam, scale_factor, n_levels)
+        )(kf2c)
+        desc_a_i = m.mp_desc[jnp.clip(idsB, 0, m.M - 1)]  # (B,N,8)
+        desc_b_i = jnp.broadcast_to(m.kf_desc[kf1][None], (B, m.N, 8))
+        idx_i, b1_i, _ = pair_best2_pallas(
+            desc_a_i, a_attr_i, desc_b_i, b_attr_i, mode="proj"
         )
-    )(kf2c, nok)  # (B,N) over kf1's keypoints
+        bound_i, cand_i, dist_i = jax.vmap(
+            lambda i, d1, act, ids: _fuse_select(i, d1, act, ids, m.N)
+        )(idx_i, b1_i, nok, idsB)
+    else:
+        bound_i, cand_i, dist_i = jax.vmap(
+            lambda k2, act: _fuse_candidate_fields(
+                m, k2, kf1, act, cam, scale_factor, n_levels
+            )
+        )(kf2c, nok)  # (B,N) over kf1's keypoints
     dmat = jnp.where(bound_i, dist_i, INVALID_DIST)
     win = jnp.argmin(dmat, axis=0)  # (N,) winning neighbor per kf1 kp
     win_d = jnp.take_along_axis(dmat, win[None, :], axis=0)[0]
