@@ -8,19 +8,18 @@ distance tile is produced on-chip in one pass, and optionally fuse the
 per-row minimum search into the same sweep (the matcher usually wants
 argmin, not the full matrix).
 
-All kernels have jnp reference implementations (ops/hamming.py) used as
-golden values in tests and as the fallback on CPU (``interpret=True``
-covers the interpreter path).
+All kernels have jnp reference implementations (ops/hamming.py,
+slam/triangulate.py) used as golden values in tests and as the fallback
+on CPU (``interpret=True`` covers the interpreter path).
 
-TOOLCHAIN STATUS (round 2 measurement): the matcher kernels compile and
-run correctly standalone — masked_best2_pallas sweeps the (8192, 1024)
-local-map search in 0.05 ms, masked_best2_levels_pallas both motion
-windows in 0.06 ms (compile ~2 s each) — but EMBEDDING either inside
-the fused tracking-step jit wedges this image's AOT Mosaic pipeline
-(module compile never returns within 10 min, vs ~30 s without them).
-The matcher integration therefore stays on the XLA formulation; the
-kernels + goldens are kept for when the toolchain catches up.  The FAST
-kernel below embeds fine and is the production detector path.
+TOOLCHAIN NOTE: kernels that take a precomputed (M, N) pair-mask input
+or hold a full (N, 8) operand in VMEM with an in-kernel chunk loop
+compile standalone but WEDGE this image's AOT Mosaic pipeline when
+embedded inside a large fused jit (round-2 measurement; those kernels
+were deleted in round 4 once superseded).  The surviving designs —
+proj_best2_pallas / pair_best2_pallas (attribute-row gating, grid
+revisiting) and the FAST kernel — all embed fine and are the
+production paths.
 """
 from __future__ import annotations
 
@@ -37,144 +36,6 @@ TILE_N = 128
 
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
-
-
-def _dist_tile(a_ref, b_ref, out_ref):
-    """(TILE_M,8) x (TILE_N,8) uint32 -> (TILE_M,TILE_N) int32 Hamming."""
-    a = a_ref[:]  # (TM,8)
-    b = b_ref[:]  # (TN,8)
-    x = jnp.bitwise_xor(a[:, None, :], b[None, :, :])  # (TM,TN,8) in VMEM
-    out_ref[:] = jnp.sum(
-        jax.lax.population_count(x), axis=-1, dtype=jnp.int32
-    )
-
-
-@functools.partial(jax.jit, static_argnames=())
-def hamming_matrix_pallas(desc_a: jax.Array, desc_b: jax.Array) -> jax.Array:
-    """(M,8) x (N,8) uint32 -> (M,N) int32 Hamming distances, tiled.
-
-    Equivalent to ops.hamming.distance_matrix; tiles of the output are
-    produced entirely in VMEM (the XOR intermediate never touches HBM).
-    M and N must be multiples of 128 (the framework's fixed capacities
-    are lane-aligned by construction, config.SlamConfig.n_keypoints).
-    """
-    M, N = desc_a.shape[0], desc_b.shape[0]
-    assert M % TILE_M == 0 and N % TILE_N == 0, (M, N)
-    grid = (M // TILE_M, N // TILE_N)
-    return pl.pallas_call(
-        _dist_tile,
-        out_shape=jax.ShapeDtypeStruct((M, N), jnp.int32),
-        grid_spec=pl.GridSpec(
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (TILE_M, 8), lambda i, j: (i, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (TILE_N, 8), lambda i, j: (j, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
-            out_specs=pl.BlockSpec(
-                (TILE_M, TILE_N), lambda i, j: (i, j),
-                memory_space=pltpu.VMEM,
-            ),
-        ),
-        interpret=_use_interpret(),
-    )(desc_a, desc_b)
-
-
-def _masked_best2_kernel(a_ref, b_ref, mask_ref, best_ref, second_ref, idx_ref):
-    """One row-tile: stream over N in TILE_N chunks held in VMEM.
-
-    a: (TILE_M, 8); b: (N, 8) resident in VMEM; mask: (TILE_M, N).
-    Outputs are (1, TILE_M) row blocks (2-D for lane alignment).
-    Running minima are fori_loop carries — registers, no HBM traffic.
-    """
-    a = a_ref[:]
-    n = b_ref.shape[0]
-    n_chunks = n // TILE_N
-
-    def body(c, state):
-        best, second, idx = state
-        b = b_ref[pl.ds(c * TILE_N, TILE_N), :]
-        x = jnp.bitwise_xor(a[:, None, :], b[None, :, :])
-        d = jnp.sum(jax.lax.population_count(x), axis=-1, dtype=jnp.int32)
-        m = mask_ref[:, pl.ds(c * TILE_N, TILE_N)]
-        d = jnp.where(m, d, 10_000)
-        # Mosaic index-reductions are float32-only; distances <= 256 are
-        # exactly representable.
-        df = d.astype(jnp.float32)
-        arg_local = jnp.argmin(df, axis=1).astype(jnp.int32)
-        tile_min = jnp.min(df, axis=1).astype(jnp.int32)
-        cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-        d2 = jnp.where(cols == arg_local[:, None], 10_000, d)
-        tile_second = jnp.min(d2.astype(jnp.float32), axis=1).astype(jnp.int32)
-        tile_arg = arg_local + c * TILE_N
-
-        new_best = jnp.minimum(best, tile_min)
-        new_idx = jnp.where(tile_min < best, tile_arg, idx)
-        loser = jnp.where(tile_min < best, best, tile_min)
-        new_second = jnp.minimum(jnp.minimum(second, loser), tile_second)
-        return new_best, new_second, new_idx
-
-    init = (
-        jnp.full((TILE_M,), 10_000, jnp.int32),
-        jnp.full((TILE_M,), 10_000, jnp.int32),
-        jnp.full((TILE_M,), -1, jnp.int32),
-    )
-    best, second, idx = jax.lax.fori_loop(0, n_chunks, body, init)
-    i = pl.program_id(0)
-    best_ref[i, :] = best
-    second_ref[i, :] = second
-    idx_ref[i, :] = idx
-
-
-@functools.partial(jax.jit, static_argnames=())
-def masked_best2_pallas(
-    desc_a: jax.Array, desc_b: jax.Array, pair_mask: jax.Array
-):
-    """Fused masked best/second-best search.
-
-    -> (best_idx (M,), best (M,), second (M,)) — the core of every
-    matcher ratio test (ops.hamming.best_and_second over a masked
-    matrix), computed without materializing the (M, N) matrix in HBM.
-    """
-    M, N = desc_a.shape[0], desc_b.shape[0]
-    assert M % TILE_M == 0 and N % TILE_N == 0, (M, N)
-    G = M // TILE_M
-    best, second, idx = pl.pallas_call(
-        _masked_best2_kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((G, TILE_M), jnp.int32),
-            jax.ShapeDtypeStruct((G, TILE_M), jnp.int32),
-            jax.ShapeDtypeStruct((G, TILE_M), jnp.int32),
-        ),
-        grid_spec=pl.GridSpec(
-            grid=(G,),
-            in_specs=[
-                pl.BlockSpec((TILE_M, 8), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((N, 8), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((TILE_M, N), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=(
-                # whole-array blocks (shape == array shape is always a
-                # legal tiling); the kernel writes its grid row.
-                pl.BlockSpec((G, TILE_M), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((G, TILE_M), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((G, TILE_M), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ),
-        ),
-        interpret=_use_interpret(),
-    )(desc_a, desc_b, pair_mask)
-    return idx.reshape(M), best.reshape(M), second.reshape(M)
 
 
 # ---------------------------------------------------------------------
@@ -308,110 +169,6 @@ def fast_score_nms_pallas(image: jax.Array, border: int = 16) -> jax.Array:
         interpret=_use_interpret(),
     )(padded)
     return out.reshape(G * S, Wp)[:H, :W]
-
-
-def _masked_best2_levels_kernel(
-    a_ref, b_ref, lvl_ref,
-    bw_ref, sw_ref, iw_ref, bn_ref, sn_ref, in_ref,
-):
-    """One row-tile, TWO nested masks in one distance sweep.
-
-    lvl: (TILE_M, N) int32 — 0 invalid, 1 wide-only, 2 wide+narrow
-    (int8 would halve the mask traffic but Mosaic lacks int8 lane
-    broadcasts on this toolchain).
-    Outputs per mask level: best, second, argbest (each (G, TILE_M)).
-    The narrow window of the motion-model search is a subset of the wide
-    one (slam/matchers.match_motion_model_two), so both resolutions come
-    from one XOR+popcount pass.
-    """
-    a = a_ref[:]
-    n = b_ref.shape[0]
-    n_chunks = n // TILE_N
-
-    def body(c, state):
-        bw, sw, iw, bn, sn, i_n = state
-        b = b_ref[pl.ds(c * TILE_N, TILE_N), :]
-        x = jnp.bitwise_xor(a[:, None, :], b[None, :, :])
-        d0 = jnp.sum(jax.lax.population_count(x), axis=-1, dtype=jnp.int32)
-        lvl = lvl_ref[:, pl.ds(c * TILE_N, TILE_N)]
-
-        def upd(d, best, second, idx):
-            df = d.astype(jnp.float32)
-            arg_local = jnp.argmin(df, axis=1).astype(jnp.int32)
-            tile_min = jnp.min(df, axis=1).astype(jnp.int32)
-            cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-            d2 = jnp.where(cols == arg_local[:, None], 10_000, d)
-            tile_second = jnp.min(d2.astype(jnp.float32), axis=1).astype(jnp.int32)
-            tile_arg = arg_local + c * TILE_N
-            new_best = jnp.minimum(best, tile_min)
-            new_idx = jnp.where(tile_min < best, tile_arg, idx)
-            loser = jnp.where(tile_min < best, best, tile_min)
-            new_second = jnp.minimum(jnp.minimum(second, loser), tile_second)
-            return new_best, new_second, new_idx
-
-        dw = jnp.where(lvl >= 1, d0, 10_000)
-        dn = jnp.where(lvl >= 2, d0, 10_000)
-        bw, sw, iw = upd(dw, bw, sw, iw)
-        bn, sn, i_n = upd(dn, bn, sn, i_n)
-        return bw, sw, iw, bn, sn, i_n
-
-    init1 = jnp.full((TILE_M,), 10_000, jnp.int32)
-    init_idx = jnp.full((TILE_M,), -1, jnp.int32)
-    bw, sw, iw, bn, sn, i_n = jax.lax.fori_loop(
-        0, n_chunks, body, (init1, init1, init_idx, init1, init1, init_idx)
-    )
-    i = pl.program_id(0)
-    bw_ref[i, :] = bw
-    sw_ref[i, :] = sw
-    iw_ref[i, :] = iw
-    bn_ref[i, :] = bn
-    sn_ref[i, :] = sn
-    in_ref[i, :] = i_n
-
-
-@functools.partial(jax.jit, static_argnames=())
-def masked_best2_levels_pallas(
-    desc_a: jax.Array, desc_b: jax.Array, levels: jax.Array
-):
-    """Fused two-level masked best/second search.
-
-    -> ((idx_w, b1_w, b2_w), (idx_n, b1_n, b2_n)), each (M,) int32 —
-    per-source best/second candidate under the wide (level>=1) and
-    narrow (level>=2) masks, from ONE pass over the descriptors.  The
-    (M, N, 8) XOR intermediate and the (M, N) distance matrix never
-    touch HBM; only the int8 level mask does.
-    """
-    M, N = desc_a.shape[0], desc_b.shape[0]
-    assert M % TILE_M == 0 and N % TILE_N == 0, (M, N)
-    G = M // TILE_M
-    out = pl.pallas_call(
-        _masked_best2_levels_kernel,
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((G, TILE_M), jnp.int32) for _ in range(6)
-        ),
-        grid_spec=pl.GridSpec(
-            grid=(G,),
-            in_specs=[
-                pl.BlockSpec((TILE_M, 8), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((N, 8), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((TILE_M, N), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=tuple(
-                pl.BlockSpec((G, TILE_M), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM)
-                for _ in range(6)
-            ),
-        ),
-        interpret=_use_interpret(),
-    )(desc_a, desc_b, levels)
-    bw, sw, iw, bn, sn, i_n = out
-    return (
-        (iw.reshape(M), bw.reshape(M), sw.reshape(M)),
-        (i_n.reshape(M), bn.reshape(M), sn.reshape(M)),
-    )
 
 
 # ---------------------------------------------------------------------

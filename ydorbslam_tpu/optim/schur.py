@@ -334,8 +334,24 @@ def _lm_iteration(cam, T_all, p_w, prob: BAProblem, active, lam, use_huber):
 # ---------------------------------------------------------------------
 
 
+def _po_flat(a: jax.Array) -> jax.Array:
+    """(P, O, ...) -> (Q, ...) in O-MAJOR order (q = o * P + p).
+
+    O-major makes every per-point reduction a contiguous
+    ``reshape(O, P) -> sum(axis=0)``: a SUBLANE reduction over
+    lane-dense (O, P) tiles.  The previous point-major layout reduced
+    (P, O) rows with O=16 minor — 12.5% lane occupancy on (8, 128)
+    tiles, measured as ~30% of the whole local-BA iteration time."""
+    return jnp.swapaxes(a, 0, 1).reshape((-1,) + a.shape[2:])
+
+
+def _po_unflat(q: jax.Array, P: int, O: int) -> jax.Array:
+    """(Q, ...) o-major -> (P, O, ...)."""
+    return jnp.swapaxes(q.reshape((O, P) + q.shape[1:]), 0, 1)
+
+
 class _FlatObs(NamedTuple):
-    """Loop-invariant flattened observation data (Q = P*O)."""
+    """Loop-invariant flattened observation data (Q = P*O, o-major)."""
 
     cam_idx: jax.Array  # (Q,) clipped camera index
     p_idx: jax.Array  # (Q,) point index
@@ -350,24 +366,23 @@ class _FlatObs(NamedTuple):
 
 def _flatten_obs(prob: BAProblem) -> _FlatObs:
     C, P, O = prob.C, prob.P, prob.obs_cam.shape[1]
-    Q = P * O
-    cam_f = prob.obs_cam.reshape(Q)
+    cam_f = _po_flat(prob.obs_cam)
     camc = jnp.clip(cam_f, 0, C - 1)
-    ok = (cam_f >= 0) & prob.obs_valid.reshape(Q) & jnp.repeat(
+    ok = (cam_f >= 0) & _po_flat(prob.obs_valid) & jnp.tile(
         prob.pt_valid, O
     )
     E = (
         (camc[:, None] == jnp.arange(C)[None, :]) & ok[:, None]
     ).astype(jnp.float32)
-    uvr = prob.obs_uvr.reshape(Q, 3)
+    uvr = _po_flat(prob.obs_uvr)
     return _FlatObs(
         cam_idx=camc,
-        p_idx=jnp.repeat(jnp.arange(P, dtype=jnp.int32), O),
+        p_idx=jnp.tile(jnp.arange(P, dtype=jnp.int32), O),
         obs_u=uvr[:, 0],
         obs_v=uvr[:, 1],
         obs_r=uvr[:, 2],
-        inv_s2=prob.obs_inv_sigma2.reshape(Q),
-        stereo=prob.obs_stereo.reshape(Q),
+        inv_s2=_po_flat(prob.obs_inv_sigma2),
+        stereo=_po_flat(prob.obs_stereo),
         base_ok=ok,
         E=E,
     )
@@ -480,7 +495,8 @@ def _flat_lm_iteration(
 
     # ---- point blocks: Hpp (P,3,3), bp (P,3) via (P,O) reductions ----
     def osum(q):
-        return jnp.sum(q.reshape(P, O), axis=1)
+        # o-major: the per-point reduction is a lane-dense sublane sum.
+        return jnp.sum(q.reshape(O, P), axis=0)
 
     Hpp = jnp.stack(
         [
@@ -500,11 +516,13 @@ def _flat_lm_iteration(
     Hpp_inv = jnp.where(~prob.pt_valid[:, None, None], 0.0, Hpp_inv)
 
     # ---- camera blocks via ONE incidence matmul ----------------------
-    # columns: Hcc upper-triangle-full 36 + bc 6 = 42
+    # columns: Hcc upper-triangle-full 36 + bc 6 = 42.  Stacked along
+    # axis 0 — a (42, Q) lane-dense layout; the (Q, 42) stack pads its
+    # 42-wide minor dim to 128 lanes on every elementwise consumer.
     cam_cols = [rowsum(Jc_cols[i], Jc_cols[j]) for i in range(6) for j in range(6)]
     cam_cols += [rowsum(Jc_cols[i], rrow) for i in range(6)]
-    camM = jnp.stack(cam_cols, -1)  # (Q, 42)
-    red = f.E.T @ camM  # (C, 42)
+    camMt = jnp.stack(cam_cols, 0)  # (42, Q)
+    red = (camMt @ f.E).T  # (C, 42)
     if axis is not None:
         red = jax.lax.psum(red, axis)
     Hcc = red[:, :36].reshape(C, 6, 6)
@@ -525,13 +543,13 @@ def _flat_lm_iteration(
     ]
     B_stack = jnp.stack(
         [jnp.stack(Bc[i], -1) for i in range(6)], -2
-    ).reshape(P, O, 6, 3)
+    ).reshape(O, P, 6, 3)
     BH_stack = jnp.stack(
         [jnp.stack(BH[i], -1) for i in range(6)], -2
-    ).reshape(P, O, 6, 3)
-    E_po = f.E.reshape(P, O, C)
-    U = jnp.einsum("poc,poik->pcik", E_po, BH_stack)  # (P,C,6,3)
-    V = jnp.einsum("poc,pojk->pcjk", E_po, B_stack)  # (P,C,6,3)
+    ).reshape(O, P, 6, 3)
+    E_po = f.E.reshape(O, P, C)
+    U = jnp.einsum("opc,opik->pcik", E_po, BH_stack)  # (P,C,6,3)
+    V = jnp.einsum("opc,opjk->pcjk", E_po, B_stack)  # (P,C,6,3)
     Um = U.transpose(1, 2, 0, 3).reshape(C * 6, P * 3)
     Vm = V.transpose(1, 2, 0, 3).reshape(C * 6, P * 3)
     S_off = (Um @ Vm.T).reshape(C, 6, C, 6).transpose(0, 2, 1, 3)
@@ -597,7 +615,7 @@ def lm_solve(
 
     use_huber = jnp.asarray(use_huber)
     f = _flatten_obs(prob)
-    active_flat = active.reshape(-1)
+    active_flat = _po_flat(active)
     stereo_delta2 = jnp.where(f.stereo, CHI2_STEREO, CHI2_MONO)
 
     def body(state, _):
@@ -649,7 +667,7 @@ def bundle_adjust(
     active0 = prob.obs_valid
     delta2 = jnp.where(prob.obs_stereo, CHI2_STEREO, CHI2_MONO)
     f = _flatten_obs(prob)
-    af0 = active0.reshape(-1)
+    af0 = _po_flat(active0)
 
     def flat_chi2_mask(T, p, active_flat):
         """(P,O) raw chi2 + mask via the flat residual pass."""
@@ -657,7 +675,7 @@ def bundle_adjust(
         wu, wv, wr, mask = _flat_weights(f, pr["zr"], active_flat)
         chi2 = _flat_chi2(pr, wu, wv, wr)
         PP, OO = prob.P, prob.obs_cam.shape[1]
-        return chi2.reshape(PP, OO), mask.reshape(PP, OO)
+        return _po_unflat(chi2, PP, OO), _po_unflat(mask, PP, OO)
 
     if iters1 > 0:
         # Two-phase local-BA protocol: robust, demote, non-robust.
@@ -690,11 +708,11 @@ def _lm_chunk(cam, prob: BAProblem, T, p, lam, chunk: int = 5):
 def _classify_outliers(cam, prob: BAProblem, T, p):
     f = _flatten_obs(prob)
     pr = _flat_project(cam, T, p, f)
-    wu, wv, wr, mask = _flat_weights(f, pr["zr"], prob.obs_valid.reshape(-1))
+    wu, wv, wr, mask = _flat_weights(f, pr["zr"], _po_flat(prob.obs_valid))
     chi2 = _flat_chi2(pr, wu, wv, wr)
     P_, O = prob.obs_cam.shape
     delta2 = jnp.where(prob.obs_stereo, CHI2_STEREO, CHI2_MONO)
-    return mask.reshape(P_, O) & (chi2.reshape(P_, O) > delta2)
+    return _po_unflat(mask, P_, O) & (_po_unflat(chi2, P_, O) > delta2)
 
 
 def chunked_global_ba(

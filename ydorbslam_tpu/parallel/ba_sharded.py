@@ -201,7 +201,8 @@ def sharded_ba_step(
 import functools as _functools
 
 from ..optim.schur import (
-    _flat_chi2, _flat_project, _flat_weights, _flatten_obs, lm_solve,
+    _flat_chi2, _flat_project, _flat_weights, _flatten_obs, _po_flat,
+    _po_unflat, lm_solve,
 )
 
 
@@ -250,11 +251,11 @@ def _sharded_classify(mesh: Mesh):
         )
         f = _flatten_obs(local)
         pr = _flat_project(cam, T, p_w, f)
-        wu, wv, wr, mask = _flat_weights(f, pr["zr"], obs_ok.reshape(-1))
+        wu, wv, wr, mask = _flat_weights(f, pr["zr"], _po_flat(obs_ok))
         chi2 = _flat_chi2(pr, wu, wv, wr)
         Pl, O = obs_cam.shape
         delta2 = jnp.where(obs_st, CHI2_STEREO, CHI2_MONO)
-        return mask.reshape(Pl, O) & (chi2.reshape(Pl, O) > delta2)
+        return _po_unflat(mask, Pl, O) & (_po_unflat(chi2, Pl, O) > delta2)
 
     sp, rp = P(axis), P()
     fn = jax.shard_map(

@@ -47,11 +47,39 @@ def _select_tracking_set(m: MapState, ref_kf, cap: int = 8192, max_kf: int = 80)
     """Local tracking map: points observed by the reference keyframe's
     covisibility neighborhood, capped (tracking.cpp:496-569 builds the
     same set via local-keyframe voting; ``max_kf`` = the reference's cap
-    of 80 KFs, tracking.cpp:543)."""
-    w = m.covis[ref_kf] * m.kf_valid.astype(jnp.int32)
+    of 80 KFs, tracking.cpp:543).
+
+    SECOND-ORDER expansion (tracking.cpp:544-568): each first-order
+    keyframe contributes its strong covisibility neighbors (weight > 10)
+    and its spanning-tree parent/children.  First-order keyframes always
+    outrank second-order ones, so the expansion only fills slots the
+    direct neighborhood leaves free — exactly the reference's
+    stop-adding-past-80 behavior.  (Dropped in earlier rounds; restored
+    for exploration accuracy — fresh frontier keyframes have few direct
+    covisibles, and the second ring holds the points that bridge back.)
+    """
+    valid_i = m.kf_valid.astype(jnp.int32)
+    w = m.covis[ref_kf] * valid_i
     w = w.at[ref_kf].set(1 << 20)
-    vals, kfs = jax.lax.top_k(w, min(max_kf, m.K))
-    sel_kf = jnp.where(vals > 0, kfs, -1)
+    K1 = min(max_kf, m.K)
+    vals, kfs = jax.lax.top_k(w, K1)
+    first_ok = vals > 0
+    kfc = jnp.clip(kfs, 0, m.K - 1)
+    in_first = jnp.zeros((m.K,), bool).at[kfc].max(first_ok, mode="drop")
+    # Second ring: strong neighbors of any first-order keyframe...
+    rows = m.covis[kfc] * first_ok[:, None]  # (K1, K)
+    w2 = jnp.max(jnp.where(rows > 10, rows, 0), axis=0)
+    # ...plus spanning-tree parents and children of first-order nodes.
+    par = jnp.clip(m.parent[kfc], 0, m.K - 1)
+    par_ok = first_ok & (m.parent[kfc] >= 0)
+    w2 = w2.at[jnp.where(par_ok, par, m.K)].max(1, mode="drop")
+    child_of_first = (m.parent >= 0) & in_first[jnp.clip(m.parent, 0, m.K - 1)]
+    w2 = jnp.maximum(w2, child_of_first.astype(jnp.int32))
+    w2 = w2 * valid_i * (~in_first)
+    # Combined ranking: first-order offset past any second-order weight.
+    wc = jnp.where(in_first, w + (1 << 21), w2)
+    vals2, kfs2 = jax.lax.top_k(wc, K1)
+    sel_kf = jnp.where(vals2 > 0, kfs2, -1)
     in_set = jnp.zeros((m.K + 1,), bool).at[
         jnp.where(sel_kf >= 0, sel_kf, m.K)
     ].set(sel_kf >= 0)[: m.K]

@@ -225,28 +225,43 @@ def _tri_geom(
     has_source = good_parallax | use_st1 | use_st2
 
     # Checks (localMapping.cpp:200-244): positive depth both views,
-    # reprojection chi2 both views, scale consistency.
+    # reprojection chi2 both views (stereo keypoints get the 3-term
+    # (u, v, ur) residual against the reference's literal 7.8 factor,
+    # localMapping.cpp:210,218), scale consistency.
     def checks(X):
         pc1 = T1[:3, :3] @ X.T + T1[:3, 3:4]
         pc2 = T2[:3, :3] @ X.T + T2[:3, 3:4]
         z1, z2 = pc1[2], pc2[2]
-        u1p = cam.fx * pc1[0] / jnp.maximum(z1, 1e-6) + cam.cx
-        v1p = cam.fy * pc1[1] / jnp.maximum(z1, 1e-6) + cam.cy
-        u2p = cam.fx * pc2[0] / jnp.maximum(z2, 1e-6) + cam.cx
-        v2p = cam.fy * pc2[1] / jnp.maximum(z2, 1e-6) + cam.cy
+        z1s, z2s = jnp.maximum(z1, 1e-6), jnp.maximum(z2, 1e-6)
+        u1p = cam.fx * pc1[0] / z1s + cam.cx
+        v1p = cam.fy * pc1[1] / z1s + cam.cy
+        u2p = cam.fx * pc2[0] / z2s + cam.cx
+        v2p = cam.fy * pc2[1] / z2s + cam.cy
         e1 = (u1p - uv1[:, 0]) ** 2 + (v1p - uv1[:, 1]) ** 2
         e2 = (u2p - uv2m[:, 0]) ** 2 + (v2p - uv2m[:, 1]) ** 2
         ok = (z1 > 0) & (z2 > 0)
-        ok &= e1 <= CHI2_MONO * sigma2[m.kf_octave[kf1]]
-        ok &= e2 <= CHI2_MONO * sigma2[m.kf_octave[kf2][best2]]
-        # scale consistency
+        # Stereo keypoints: add the right-x residual (predicted
+        # ur = u - bf/z vs the measured right-x) and widen to 7.8.
+        r1 = m.kf_right_u[kf1]
+        r2 = m.kf_right_u[kf2][best2]
+        e1r = e1 + (u1p - cam.bf / z1s - r1) ** 2
+        e2r = e2 + (u2p - cam.bf / z2s - r2) ** 2
+        s2_1 = sigma2[m.kf_octave[kf1]]
+        s2_2 = sigma2[m.kf_octave[kf2][best2]]
+        ok &= jnp.where(r1 >= 0, e1r <= 7.8 * s2_1, e1 <= CHI2_MONO * s2_1)
+        ok &= jnp.where(r2 >= 0, e2r <= 7.8 * s2_2, e2 <= CHI2_MONO * s2_2)
+        # Scale consistency (localMapping.cpp:231-238): ratioDist =
+        # dist_connected / dist_current vs ratioOctave = sf1 / sf2, band
+        # factor 1.5 * scaleFactor.  (Earlier rounds compared the
+        # INVERTED distance ratio to the same octave ratio — a band
+        # centered on the wrong side whenever octaves differ.)
         d1 = jnp.linalg.norm(X - c1[None], axis=-1)
         d2 = jnp.linalg.norm(X - c2[None], axis=-1)
-        ratio_d = d1 / jnp.maximum(d2, 1e-6)
-        ratio_o = (
-            sf[m.kf_octave[kf1]] / sf[m.kf_octave[kf2][best2]]
-        )
-        ok &= (ratio_d < ratio_o * 1.5) & (ratio_d > ratio_o / 1.5)
+        ratio_d = d2 / jnp.maximum(d1, 1e-6)
+        ratio_o = sf[m.kf_octave[kf1]] / sf[m.kf_octave[kf2][best2]]
+        factor = 1.5 * scale_factor
+        ok &= (d1 > 1e-6) & (d2 > 1e-6)
+        ok &= (ratio_d * factor >= ratio_o) & (ratio_d <= ratio_o * factor)
         return ok
 
     good = (
