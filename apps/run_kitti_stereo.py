@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--poses", default=None, help="KITTI ground-truth poses.txt")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--no-loop", action="store_true")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="device-resident dispatch-ahead tracking")
+    ap.add_argument("--lag", type=int, default=16)
     ap.add_argument("--out-trajectory", default="CameraTrajectory.txt")
     ap.add_argument("--viewer-dir", default=None,
                     help="periodic in-run rendering (frame+map PNGs)")
@@ -63,13 +66,20 @@ def main():
     )
     n = len(ds) if not args.max_frames else min(args.max_frames, len(ds))
     system = SlamSystem(cfg, Sensor.STEREO, enable_loop_closing=not args.no_loop)
+    if args.pipelined:
+        system.enable_pipelined(lag=args.lag)
+        system.precompile()
     if args.viewer_dir:
         system.attach_viewer(args.viewer_dir, every=args.viewer_every)
+    track = (
+        system.track_stereo_pipelined if args.pipelined
+        else system.track_stereo
+    )
     times = []
     for i in range(n):
         t, left, right = ds[i]
         t0 = time.perf_counter()
-        system.track_stereo(t, left, right)
+        track(t, left, right)
         times.append(time.perf_counter() - t0)
         if i % 100 == 0:
             print(

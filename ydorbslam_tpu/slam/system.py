@@ -104,6 +104,31 @@ def _select_tracking_set(m: MapState, ref_kf, cap: int = 8192, max_kf: int = 80)
 
 
 @jax.jit
+def _nearest_kf(m: MapState, T_cur: jax.Array) -> jax.Array:
+    """Keyframe closest to the current camera in pose space (translation
+    + ~2 m-per-radian rotation weight).
+
+    The reference rebuilds its local window EVERY frame by voting with
+    the current frame's matches (Tracking::updateLocalKeyFrames,
+    tracking.cpp:507-569), so the window follows the camera between
+    keyframe insertions.  The pipelined path refreshes per DRAIN
+    instead; centering the window on the nearest-pose keyframe is the
+    device-cheap equivalent of the vote — and on revisits it snaps the
+    window back to the OLD keyframes, re-using the map exactly like the
+    reference's vote does."""
+    c_cur = -T_cur[:3, :3].T @ T_cur[:3, 3]
+    R = m.kf_pose[:, :3, :3]
+    t = m.kf_pose[:, :3, 3]
+    centers = -jnp.einsum("kij,ki->kj", R, t)  # R^T t per keyframe
+    d_t = jnp.linalg.norm(centers - c_cur[None], axis=-1)
+    # tr(R_k R_cur^T) = sum_ij R_k[i,j] * R_cur[i,j] -> relative angle.
+    tr = jnp.einsum("kij,ij->k", R, T_cur[:3, :3])
+    ang = jnp.arccos(jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0))
+    cost = jnp.where(m.kf_valid, d_t + 2.0 * ang, jnp.inf)
+    return jnp.argmin(cost).astype(jnp.int32)
+
+
+@jax.jit
 def _snapshot_fetch(m: MapState, ref_kf):
     """One fused program for the host snapshot fallback fetch — eager
     ``m.kf_pose[ref]`` indexing would compile throwaway dynamic-slice
@@ -556,6 +581,8 @@ class SlamSystem:
         )
         self._pending = []
         self._pipe_frames_since_kf = 0
+        self._inlier_peak = 0.0  # stress-gate yardstick (see _drain_batch)
+        self._stress_drains = 0
         self._refresh_trkset()
 
     @property
@@ -583,9 +610,27 @@ class SlamSystem:
             # merges the remainder).  A sparse scene that simply doesn't
             # need a 3rd keyframe must not pin the pipeline at short lag.
             return min(3, self._pipe_lag)
+        if getattr(self, "_stress_drains", 0) > 0:
+            # TRACKING STRESS: the last drain saw a lost frame or an
+            # inlier count collapsing below 0.6x its healthy level.  On
+            # workloads with steadily-shrinking view overlap (constant
+            # angular velocity), the batched keyframe decision arrives
+            # up to ``lag`` frames late — past the overlap cliff the
+            # synchronous reference never falls off (its insertion hook
+            # is in-line, tracking.cpp:839).  Shrinking the batch bounds
+            # the decision latency exactly while the margin is thin;
+            # steady healthy tracking keeps the full-throughput lag.
+            return min(3, self._pipe_lag)
         return self._pipe_lag
 
-    def _refresh_trkset(self):
+    def _refresh_trkset(self, T_latest=None):
+        """Rebuild the device tracking set.
+
+        ``T_latest`` (the newest drained OK pose) centers the window on
+        the nearest-pose keyframe instead of the newest one — the
+        per-drain analog of the reference's per-frame local-window vote
+        (tracking.cpp:507-569); without it a constant-rate rotation
+        walks out of the window pinned at the last insertion."""
         from .pipeline import (TrackSet, clear_track_counters,
                                fold_track_counters)
 
@@ -600,19 +645,24 @@ class SlamSystem:
                 self._dstate.vis_acc, self._dstate.found_acc,
             )
             self._dstate = clear_track_counters(self._dstate)
+        if T_latest is not None and self.n_keyframes > 1:
+            window_ref = _nearest_kf(self.map, jnp.asarray(T_latest, jnp.float32))
+        else:
+            window_ref = jnp.int32(self.ref_kf)
         pts, pos, desc, normal, dmax, dmin, valid = _select_tracking_set(
-            self.map, self.ref_kf, cap,
+            self.map, window_ref, cap,
             self.cfg.tracking.local_window_max_kf,
         )
         min_obs, ref_ratio = kf_decision_params(
             self.n_keyframes, self.cfg.tracking.kf_ref_ratio
         )
-        ref_tracked = _count_ref_tracked(self.map, self.ref_kf, min_obs)
+        ref_tracked = _count_ref_tracked(self.map, window_ref, min_obs)
         self._trkset = TrackSet(
             pts=pts, pos=pos, desc=desc, normal=normal, dmax=dmax,
             dmin=dmin, valid=valid,
             ref_thresh=ref_tracked.astype(jnp.float32) * ref_ratio,
         )
+        self._inlier_peak = 0.0  # stress yardstick restarts per window
 
     def track_rgbd_pipelined(self, timestamp, gray, depth) -> None:
         """Dispatch one frame; decisions drain in BATCHES.
@@ -729,8 +779,23 @@ class SlamSystem:
         self._pending = []
         self._batch_inserted = False
         self._ba_pending = False
+        infos = [FrameInfo.unpack(ring[fid % RING]) for _, fid in batch]
+        # Stress gate for the adaptive drain lag (see _effective_lag):
+        # a lost frame, or the inlier count falling below HALF its peak
+        # since the last window refresh, arms short-lag draining.  The
+        # peak (not a running mean) is the right yardstick: on a
+        # steadily-shrinking-overlap workload a smoothed level tracks
+        # the decay itself and never alarms before the cliff.
+        ok_inl = [i.n_inliers for i in infos if i.ok]
+        peak = getattr(self, "_inlier_peak", 0.0)
+        stress = any(not i.ok for i in infos) or (
+            bool(ok_inl) and peak > 0 and min(ok_inl) < 0.5 * peak
+        )
+        if ok_inl:
+            self._inlier_peak = max(peak, max(ok_inl))
+        self._stress_drains = 3 if stress else max(0, self._stress_drains - 1)
         for i, (timestamp, fid) in enumerate(batch):
-            info = FrameInfo.unpack(ring[fid % RING])
+            info = infos[i]
             # Relocalize at most ONCE per batch, from the NEWEST frame:
             # earlier LOST frames in the batch are history by drain time
             # (the reference relocalizes the *current* frame,
@@ -741,8 +806,17 @@ class SlamSystem:
             )
         if self._ba_pending:
             self._run_deferred_ba()
-        if self._batch_inserted:
-            self._refresh_trkset()
+        # Refresh the tracking window EVERY drain, centered on the
+        # nearest-pose keyframe (per-drain analog of the reference's
+        # per-frame local-window vote); the newest drained OK pose is
+        # the center.
+        T_latest = None
+        for info in reversed(infos):
+            if info.ok:
+                T_latest = info.T_cw
+                break
+        if self._batch_inserted or T_latest is not None:
+            self._refresh_trkset(T_latest)
         if self.loop_closer is not None:
             # One global-BA LM chunk per drained batch: in-flight loop
             # BAs overlap tracking instead of stalling it (the
