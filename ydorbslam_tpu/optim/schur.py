@@ -446,24 +446,43 @@ def _flat_cost(
     return total
 
 
-def _flat_lm_iteration(
-    cam, T_all, p_w, prob: BAProblem, f: _FlatObs, active_flat, lam,
+class _FlatSystem(NamedTuple):
+    """Normal-equation pieces of one state, carried across LM
+    iterations so a REJECTED step re-solves from the cached system
+    instead of recomputing Jacobians (g2o's factorization-retry loop).
+    The robustified ``cost`` of the state rides along, so the LM loop
+    needs exactly ONE observation pass per iteration — the candidate's
+    system pass doubles as its accept/reject cost evaluation."""
+
+    red: jax.Array  # (C,42) camera blocks [Hcc 36 | bc 6], psum'd
+    Hpp: jax.Array  # (P,3,3)
+    bp: jax.Array  # (P,3)
+    Bq: jax.Array  # (18,Q) coupling columns B[i][k] at row i*3+k
+    cost: jax.Array  # () robustified total, psum'd
+
+
+def _flat_system(
+    cam, T_all, p_w, prob: BAProblem, f: _FlatObs, active_flat,
     use_huber, axis=None,
-):
-    """One damped LM step in flat layout: returns (T_new, p_new).
+) -> _FlatSystem:
+    """One observation pass at (T_all, p_w): camera/point normal
+    equations + coupling columns + robustified cost.
 
     With ``axis`` set (inside shard_map, points sharded over the mesh)
-    the camera-system reductions — the incidence matmul, the Schur
-    off-diagonal and the reduced rhs — are psum-combined over ICI; the
-    per-point work (Jacobians, 3x3 marginalization, back-substitution)
-    stays device-local.  Communication per step: O(42*C + 36*C^2)
-    floats, independent of the number of points (SURVEY.md §2c P6)."""
+    the camera-system reductions — the incidence matmul and the cost —
+    are psum-combined over ICI; the per-point work stays device-local.
+    """
     C, P, O = prob.C, prob.P, prob.obs_cam.shape[1]
-    Q = f.cam_idx.shape[0]
     pr = _flat_project(cam, T_all, p_w, f)
     wu, wv, wr, mask = _flat_weights(f, pr["zr"], active_flat)
     delta2 = jnp.where(f.stereo, CHI2_STEREO, CHI2_MONO)
     chi2 = _flat_chi2(pr, wu, wv, wr)
+    cost = jnp.sum(
+        jnp.where(use_huber, huber_cost(chi2, delta2), chi2)
+        * mask.astype(jnp.float32)
+    )
+    if axis is not None:
+        cost = jax.lax.psum(cost, axis)
     hub = jnp.where(use_huber, huber_scale(chi2, delta2), 1.0)
     wu, wv, wr = wu * hub, wv * hub, wr * hub
     x, y, z, iz = pr["x"], pr["y"], pr["z"], pr["iz"]
@@ -509,11 +528,6 @@ def _flat_lm_iteration(
     bp = jnp.stack(
         [osum(rowsum(Jp_cols[i], rrow)) for i in range(3)], -1
     )  # (P,3)
-    Hpp_d = Hpp + lam * jnp.eye(3) * jnp.maximum(
-        jnp.trace(Hpp, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1e-6
-    )
-    Hpp_inv = inv3x3(Hpp_d)
-    Hpp_inv = jnp.where(~prob.pt_valid[:, None, None], 0.0, Hpp_inv)
 
     # ---- camera blocks via ONE incidence matmul ----------------------
     # columns: Hcc upper-triangle-full 36 + bc 6 = 42.  Stacked along
@@ -525,11 +539,40 @@ def _flat_lm_iteration(
     red = (camMt @ f.E).T  # (C, 42)
     if axis is not None:
         red = jax.lax.psum(red, axis)
-    Hcc = red[:, :36].reshape(C, 6, 6)
-    bc = red[:, 36:42]
 
-    # ---- coupling B (Q,6,3), BHinv = B @ Hpp_inv[p] ------------------
-    Bc = [[rowsum(Jc_cols[i], Jp_cols[k]) for k in range(3)] for i in range(6)]
+    # ---- coupling columns B[i][k] = rowsum(Jc_i, Jp_k) ---------------
+    Bq = jnp.stack(
+        [rowsum(Jc_cols[i], Jp_cols[k]) for i in range(6) for k in range(3)],
+        0,
+    )  # (18, Q)
+    return _FlatSystem(red=red, Hpp=Hpp, bp=bp, Bq=Bq, cost=cost)
+
+
+def _flat_step(
+    cam, prob: BAProblem, f: _FlatObs, sys: _FlatSystem, T_all, p_w, lam,
+    axis=None,
+):
+    """Solve one damped step from a cached normal-equation system.
+
+    Pure linear algebra — no observation pass; the Schur off-diagonal
+    and reduced rhs are psum-combined when ``axis`` is set (points
+    sharded; communication O(42*C + 36*C^2) floats per step,
+    independent of the number of points, SURVEY.md §2c P6)."""
+    C, P, O = prob.C, prob.P, prob.obs_cam.shape[1]
+
+    def osum(q):
+        return jnp.sum(q.reshape(O, P), axis=0)
+
+    Hcc = sys.red[:, :36].reshape(C, 6, 6)
+    bc = sys.red[:, 36:42]
+    bp = sys.bp
+    Hpp_d = sys.Hpp + lam * jnp.eye(3) * jnp.maximum(
+        jnp.trace(sys.Hpp, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1e-6
+    )
+    Hpp_inv = inv3x3(Hpp_d)
+    Hpp_inv = jnp.where(~prob.pt_valid[:, None, None], 0.0, Hpp_inv)
+
+    Bc = [[sys.Bq[i * 3 + k] for k in range(3)] for i in range(6)]
     # Row-gather Hpp_inv as flat 9-wide rows (one efficient row gather;
     # a (Q,3,3) gather with its 3x3 minor dims is not lane-friendly).
     Hgf = Hpp_inv.reshape(P, 9)[f.p_idx]  # (Q,9)
@@ -616,36 +659,35 @@ def lm_solve(
     use_huber = jnp.asarray(use_huber)
     f = _flatten_obs(prob)
     active_flat = _po_flat(active)
-    stereo_delta2 = jnp.where(f.stereo, CHI2_STEREO, CHI2_MONO)
 
-    def body(state, _):
-        T, p, lam, cost = state
-        T_new, p_new = _flat_lm_iteration(
-            cam, T, p, prob, f, active_flat, lam, use_huber, axis=axis
+    def system(T, p):
+        return _flat_system(
+            cam, T, p, prob, f, active_flat, use_huber, axis=axis
         )
-        cost_new = _flat_cost(
-            cam, T_new, p_new, f, active_flat, use_huber, stereo_delta2,
-            axis=axis,
-        )
-        accept = cost_new < cost
+
+    lam0_arr = jnp.float32(lam0) if lam_init is None else lam_init
+    # ONE observation pass per iteration: the candidate state's system
+    # pass carries its robustified cost, which IS the accept/reject
+    # test; a rejected step re-solves from the cached system with a
+    # larger lambda (g2o's factorization-retry).  Unrolled instead of
+    # lax.scan: a TPU loop step synchronizes the whole core per
+    # iteration, which dominates when the body is a handful of small-C
+    # matmuls (same finding as optim/pose.py).
+    sysc = system(prob.T_cw, prob.p_w)
+    T, p, lam, cost = prob.T_cw, prob.p_w, lam0_arr, sysc.cost
+    for _ in range(iters):
+        T_new, p_new = _flat_step(cam, prob, f, sysc, T, p, lam, axis=axis)
+        sys_new = system(T_new, p_new)
+        accept = sys_new.cost < cost
         T = jnp.where(accept, T_new, T)
         p = jnp.where(accept, p_new, p)
-        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-8), jnp.minimum(lam * 5.0, 1e6))
-        cost = jnp.where(accept, cost_new, cost)
-        return (T, p, lam, cost), cost
-
-    cost0 = _flat_cost(
-        cam, prob.T_cw, prob.p_w, f, active_flat, use_huber, stereo_delta2,
-        axis=axis,
-    )
-    lam0_arr = jnp.float32(lam0) if lam_init is None else lam_init
-    # Unrolled instead of lax.scan: a TPU loop step synchronizes the
-    # whole core per iteration, which dominates when the body is a
-    # handful of small-C matmuls (same finding as optim/pose.py).
-    state = (prob.T_cw, prob.p_w, lam0_arr, cost0)
-    for _ in range(iters):
-        state, _ = body(state, None)
-    T, p, lam, cost = state
+        sysc = jax.tree.map(
+            lambda a, b: jnp.where(accept, a, b), sys_new, sysc
+        )
+        lam = jnp.where(
+            accept, jnp.maximum(lam * 0.5, 1e-8), jnp.minimum(lam * 5.0, 1e6)
+        )
+        cost = jnp.where(accept, sys_new.cost, cost)
     return T, p, cost, lam
 
 
