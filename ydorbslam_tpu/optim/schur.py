@@ -461,6 +461,58 @@ class _FlatSystem(NamedTuple):
     cost: jax.Array  # () robustified total, psum'd
 
 
+def _flat_system_kernel(
+    cam, T_all, p_w, prob: BAProblem, f: _FlatObs, active_flat,
+    use_huber, axis=None,
+) -> _FlatSystem:
+    """Kernel-backed observation pass (optim/lm_kernel.py): the whole
+    per-observation column computation runs as ONE Pallas sweep; only
+    the gathers, the incidence matmul and the final reductions stay in
+    XLA.  Numerically the same formulas as the XLA body below (shared
+    golden test: tests/test_lm_kernel.py)."""
+    from .lm_kernel import NIN, lm_obs_pallas
+
+    C, P, O = prob.C, prob.P, prob.obs_cam.shape[1]
+    Q = O * P
+    Tf = T_all.reshape(C, 16)[f.cam_idx]  # (Q,16) row gather
+    Rr = Tf[:, jnp.array([0, 1, 2, 4, 5, 6, 8, 9, 10])].T  # (9,Q)
+    tt = Tf[:, jnp.array([3, 7, 11])].T  # (3,Q)
+    pw = p_w[f.p_idx].T  # (3,Q)
+    one = jnp.ones((1, Q), jnp.float32)
+    inp = jnp.concatenate(
+        [
+            Rr, tt, pw,
+            f.obs_u[None], f.obs_v[None], f.obs_r[None],
+            f.inv_s2[None],
+            f.stereo.astype(jnp.float32)[None],
+            (f.base_ok & active_flat).astype(jnp.float32)[None],
+            jnp.where(use_huber, 1.0, 0.0) * one,
+            cam.fx * one, cam.fy * one, cam.cx * one, cam.cy * one,
+            cam.bf * one,
+            jnp.zeros((NIN - 27, Q), jnp.float32),
+        ],
+        0,
+    ).reshape(NIN, O, P)
+    outq, outp = lm_obs_pallas(inp)
+    # E is ONE-HOT: bf16 passes represent its 0/1 entries exactly, so
+    # the 3-pass HIGH precision loses nothing material over the 6-pass
+    # package default while halving the MXU work.
+    red = jax.lax.dot(
+        outq[:42].reshape(42, Q), f.E, precision=jax.lax.Precision.HIGH
+    ).T  # (C,42)
+    cost = jnp.sum(outp[12])
+    if axis is not None:
+        red = jax.lax.psum(red, axis)
+        cost = jax.lax.psum(cost, axis)
+    return _FlatSystem(
+        red=red,
+        Hpp=outp[:9].T.reshape(P, 3, 3),
+        bp=outp[9:12].T,
+        Bq=outq[42:60].reshape(18, Q),
+        cost=cost,
+    )
+
+
 def _flat_system(
     cam, T_all, p_w, prob: BAProblem, f: _FlatObs, active_flat,
     use_huber, axis=None,
@@ -473,6 +525,10 @@ def _flat_system(
     are psum-combined over ICI; the per-point work stays device-local.
     """
     C, P, O = prob.C, prob.P, prob.obs_cam.shape[1]
+    if jax.default_backend() == "tpu" and P % 512 == 0 and O % 8 == 0:
+        return _flat_system_kernel(
+            cam, T_all, p_w, prob, f, active_flat, use_huber, axis=axis
+        )
     pr = _flat_project(cam, T_all, p_w, f)
     wu, wv, wr, mask = _flat_weights(f, pr["zr"], active_flat)
     delta2 = jnp.where(f.stereo, CHI2_STEREO, CHI2_MONO)
@@ -590,13 +646,20 @@ def _flat_step(
     BH_stack = jnp.stack(
         [jnp.stack(BH[i], -1) for i in range(6)], -2
     ).reshape(O, P, 6, 3)
+    # Schur coupling at HIGH (3-pass) matmul precision: the E operand is
+    # one-hot (exact in bf16) and the accept/reject LM loop tolerates a
+    # ~1e-6-relative Schur off-diagonal; the 6-pass package default was
+    # measured as ~1/3 of the whole BA iteration.
+    HIGH = jax.lax.Precision.HIGH
     E_po = f.E.reshape(O, P, C)
-    U = jnp.einsum("opc,opik->pcik", E_po, BH_stack)  # (P,C,6,3)
-    V = jnp.einsum("opc,opjk->pcjk", E_po, B_stack)  # (P,C,6,3)
+    U = jnp.einsum("opc,opik->pcik", E_po, BH_stack, precision=HIGH)
+    V = jnp.einsum("opc,opjk->pcjk", E_po, B_stack, precision=HIGH)
     Um = U.transpose(1, 2, 0, 3).reshape(C * 6, P * 3)
     Vm = V.transpose(1, 2, 0, 3).reshape(C * 6, P * 3)
-    S_off = (Um @ Vm.T).reshape(C, 6, C, 6).transpose(0, 2, 1, 3)
-    corr_cam = jnp.einsum("pcik,pk->ci", U, bp)
+    S_off = jax.lax.dot(Um, Vm.T, precision=HIGH).reshape(
+        C, 6, C, 6
+    ).transpose(0, 2, 1, 3)
+    corr_cam = jnp.einsum("pcik,pk->ci", U, bp, precision=HIGH)
     if axis is not None:
         S_off = jax.lax.psum(S_off, axis)
         corr_cam = jax.lax.psum(corr_cam, axis)

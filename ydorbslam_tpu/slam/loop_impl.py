@@ -474,6 +474,11 @@ class LoopCloserImpl:
             hit = self._compute_sim3(kf_id, cand)
             if hit is not None:
                 S_12, _ = hit
+                sys.stats.loop_events.append((
+                    int(snap["kf_frame_id"][kf_id]),
+                    int(snap["kf_frame_id"][cand]),
+                    float(jnp.linalg.norm(S_12[:3, 3])),
+                ))
                 self._correct(kf_id, cand, S_12)
                 closer.last_loop_kf_count = sys.n_keyframes
                 closer.n_loops_closed += 1

@@ -28,6 +28,9 @@ class RunStats:
     loops_closed: int = 0
     global_ba_runs: int = 0
     resets: int = 0
+    # (query frame id, matched frame id, |t| of the Sim3 correction) per
+    # accepted loop — which revisit closed, and how big the jump was.
+    loop_events: list = dataclasses.field(default_factory=list)
 
     def as_dict(self) -> dict:
         d = dataclasses.asdict(self)
@@ -58,4 +61,6 @@ def format_stats(d: dict) -> str:
         f" global BA {d['global_ba_runs']}",
         f"resets        {d['resets']}",
     ]
+    for q, m, t in d.get("loop_events", []):
+        lines.append(f"  loop: frame {q} -> frame {m}  |t| = {t:.3f} m")
     return "\n".join(lines)
