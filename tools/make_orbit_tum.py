@@ -102,15 +102,27 @@ def main():
     n_circuit = int(sys.argv[2]) if len(sys.argv) > 2 else 90
     tail = int(sys.argv[3]) if len(sys.argv) > 3 else 24
     drift_rate = float(sys.argv[4]) if len(sys.argv) > 4 else 0.004
+    # Optional multiplicative per-pixel depth noise (sigma as a fraction
+    # of depth): the REALISTIC error model — each frame is internally
+    # consistent (no chi2-gate violation), but frame-to-frame seeding
+    # noise accumulates as genuine random-walk VO drift, exactly the
+    # condition loop closure repairs on real sensors.
+    noise_sigma = float(sys.argv[5]) if len(sys.argv) > 5 else 0.0
     os.makedirs(os.path.join(out, "rgb"), exist_ok=True)
     os.makedirs(os.path.join(out, "depth"), exist_ok=True)
     tex = atlas()
     n = n_circuit + tail
     assoc, gt = [], ["# timestamp tx ty tz qx qy qz qw"]
+    rng = np.random.default_rng(12345)
     for i in range(n):
         ts = f"{i / 30.0:.6f}"
         T = pose(i, n_circuit)
         g, d = render_cyl(tex, T, drift_rate * i)
+        if noise_sigma > 0:
+            d = np.where(
+                d > 0, d * (1.0 + noise_sigma * rng.standard_normal(d.shape)),
+                d,
+            )
         Image.fromarray(g).save(os.path.join(out, "rgb", f"{ts}.png"))
         d16 = np.clip(np.round(d * DEPTH_FACTOR), 0, 65535).astype(np.uint16)
         Image.fromarray(d16, mode="I;16").save(

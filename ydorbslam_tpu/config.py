@@ -109,6 +109,16 @@ class TrackingConfig:
     min_close_seed_points: int = 100
     reloc_min_bow_matches: int = 15
     reloc_min_inliers: int = 50
+    # Pipelined-mode adaptive drain: shrink the decision batch while a
+    # drain reports a lost frame or an inlier collapse below half its
+    # per-window peak (bounds keyframe-decision latency on
+    # shrinking-overlap workloads; see SlamSystem._drain_batch).
+    # DEFAULT OFF: on the warped x6 exploration benchmark the short-lag
+    # bursts fire on ordinary view-change inlier dips and nearly double
+    # the keyframe rate (33 vs 17), churning local-BA geometry — ATE
+    # 0.22 m vs 0.11 m with the gate off; and on its target workload
+    # (constant-rate orbit) the sync path remains the robust choice.
+    stress_lag: bool = False
 
 
 @dataclass(frozen=True)

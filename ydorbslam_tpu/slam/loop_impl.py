@@ -519,13 +519,18 @@ class LoopCloserImpl:
         n_matches, ransac_ok, n_in, total = (
             int(pack[0]), bool(pack[1] > 0.5), int(pack[2]), int(pack[3])
         )
+        fails = sys.stats.loop_verify_fails
         if n_matches < cfg.loop.min_bow_matches:
+            fails["bow"] = fails.get("bow", 0) + 1
             return None
         if not ransac_ok:
+            fails["ransac"] = fails.get("ransac", 0) + 1
             return None
         if n_in < cfg.loop.min_sim3_inliers:
+            fails["sim3"] = fails.get("sim3", 0) + 1
             return None
         if total < cfg.loop.min_total_matches:
+            fails["guided"] = fails.get("guided", 0) + 1
             return None
         S_ref = jnp.asarray(pack[4:20].reshape(4, 4))
         return S_ref, total

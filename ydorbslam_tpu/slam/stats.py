@@ -31,6 +31,8 @@ class RunStats:
     # (query frame id, matched frame id, |t| of the Sim3 correction) per
     # accepted loop — which revisit closed, and how big the jump was.
     loop_events: list = dataclasses.field(default_factory=list)
+    # Verification-gate failures by stage (bow / ransac / sim3 / guided).
+    loop_verify_fails: dict = dataclasses.field(default_factory=dict)
 
     def as_dict(self) -> dict:
         d = dataclasses.asdict(self)
@@ -63,4 +65,6 @@ def format_stats(d: dict) -> str:
     ]
     for q, m, t in d.get("loop_events", []):
         lines.append(f"  loop: frame {q} -> frame {m}  |t| = {t:.3f} m")
+    if d.get("loop_verify_fails"):
+        lines.append(f"  loop verify fails: {d['loop_verify_fails']}")
     return "\n".join(lines)

@@ -788,8 +788,9 @@ class SlamSystem:
         # the decay itself and never alarms before the cliff.
         ok_inl = [i.n_inliers for i in infos if i.ok]
         peak = getattr(self, "_inlier_peak", 0.0)
-        stress = any(not i.ok for i in infos) or (
-            bool(ok_inl) and peak > 0 and min(ok_inl) < 0.5 * peak
+        stress = self.cfg.tracking.stress_lag and (
+            any(not i.ok for i in infos)
+            or (bool(ok_inl) and peak > 0 and min(ok_inl) < 0.5 * peak)
         )
         if ok_inl:
             self._inlier_peak = max(peak, max(ok_inl))
@@ -806,16 +807,21 @@ class SlamSystem:
             )
         if self._ba_pending:
             self._run_deferred_ba()
-        # Refresh the tracking window EVERY drain, centered on the
-        # nearest-pose keyframe (per-drain analog of the reference's
-        # per-frame local-window vote); the newest drained OK pose is
-        # the center.
+        # Refresh the tracking window at keyframe insertions, centered
+        # on the keyframe nearest the newest drained pose (the per-drain
+        # analog of the reference's per-frame local-window vote,
+        # tracking.cpp:507-569 — after a relocalization or loop the
+        # nearest keyframe is an OLD one and the window snaps back to
+        # the revisited map).  Refreshing on EVERY drain was measured to
+        # degrade exploration accuracy (the mid-window threshold and
+        # counter-fold churn outweigh the freshness), so between
+        # insertions the window stays pinned.
         T_latest = None
         for info in reversed(infos):
             if info.ok:
                 T_latest = info.T_cw
                 break
-        if self._batch_inserted or T_latest is not None:
+        if self._batch_inserted:
             self._refresh_trkset(T_latest)
         if self.loop_closer is not None:
             # One global-BA LM chunk per drained batch: in-flight loop
