@@ -214,39 +214,46 @@ def profile(frames):
     out["frame_step_chained_ms"] = (time.perf_counter() - t0) / n * 1000
     system._dstate = st
 
+    # Mapping programs timed CHAINED (dispatch N copies, one sync, divide)
+    # — a per-dispatch sync would add the full tunnel round trip (~25 ms
+    # on a good day, drifting 2-3x) to every sample and measure the
+    # link, not the device (see memory: tpu-tunnel-measurement).
     from ydorbslam_tpu.slam.mapping import mapping_finish, mapping_prep
 
-    def prep():
-        m0 = jax.tree.map(jnp.copy, system.map)
-        jax.block_until_ready(m0.mp_pos)
+    def chained(dispatch, n=6):
+        mms = [jax.tree.map(jnp.copy, system.map) for _ in range(n)]
+        jax.block_until_ready(mms[-1].mp_pos)
+        outs = [dispatch(mms[0])]  # warm/compile
+        jax.block_until_ready(outs[-1])
+        mms = mms[1:]
         t0 = time.perf_counter()
+        outs = [dispatch(mm) for mm in mms]
+        jax.block_until_ready(outs[-1])
+        return (time.perf_counter() - t0) / len(mms) * 1000
+
+    def prep_d(mm):
         m = mapping_prep(
-            m0, jnp.int32(system.ref_kf), jnp.int32(system.n_keyframes),
+            mm, jnp.int32(system.ref_kf), jnp.int32(system.n_keyframes),
             system.cam, scale_factor=o.scale_factor, n_levels=o.n_levels,
             **system._prep_kw)
-        jax.block_until_ready(m.mp_pos)
-        return (time.perf_counter() - t0) * 1000
+        return m.mp_pos
 
-    out["mapping_prep_ms"] = float(np.median([prep() for _ in range(5)]))
+    out["mapping_prep_ms"] = round(chained(prep_d), 3)
 
     win_cap, fix_cap, pts_cap = system._ba_caps()
 
-    def fin():
-        m0 = jax.tree.map(jnp.copy, system.map)
-        jax.block_until_ready(m0.mp_pos)
-        t0 = time.perf_counter()
+    def fin_d(mm):
         m, snap = mapping_finish(
-            m0, jnp.int32(system.ref_kf), system.cam, system.inv_sigma2_tab,
+            mm, jnp.int32(system.ref_kf), system.cam, system.inv_sigma2_tab,
             system._depth_thr_dev,
             iters1=cfg.optim.local_ba_iters_1,
             iters2=cfg.optim.local_ba_iters_2,
             win_cap=win_cap, fix_cap=fix_cap, pts_cap=pts_cap,
             obs_cap=cfg.capacity.local_ba_obs,
             kf_cull_redundancy=cfg.mapping.kf_cull_redundancy)
-        jax.block_until_ready(snap)
-        return (time.perf_counter() - t0) * 1000
+        return snap
 
-    out["mapping_finish_ms"] = float(np.median([fin() for _ in range(3)]))
+    out["mapping_finish_ms"] = round(chained(fin_d), 3)
 
     nkf0 = system.n_keyframes
     fps, stats = run(system, frames)
