@@ -122,30 +122,6 @@ def run(system, frames, n_warm=20):
     return fps, stats
 
 
-def measure(n_passes, make, frames):
-    """EVERY pass recorded, median pass is the headline.
-
-    The remote-TPU tunnel's RTT drifts between runs (r3 measured a
-    43-67 fps spread on identical code), so a single pass can neither
-    demonstrate a target nor catch a regression.  Per-pass fps +
-    frame-time distribution + stall counts are all emitted so the
-    artifact shows its own spread; the median pass (not the best) is
-    the number reported."""
-    passes = []
-    for _ in range(n_passes):
-        _, stats = run(make(), frames)
-        passes.append(stats)
-    fps_sorted = sorted(p["fps"] for p in passes)
-    median_fps = fps_sorted[len(fps_sorted) // 2]
-    spread = dict(
-        passes=passes,
-        fps_min=fps_sorted[0],
-        fps_median=median_fps,
-        fps_max=fps_sorted[-1],
-    )
-    return median_fps, spread
-
-
 def profile(frames):
     """Per-phase timing artifact (bench_profile.json)."""
     import jax
@@ -273,43 +249,44 @@ def main():
         profile(frames)
         return
     n_passes = int(os.environ.get("BENCH_PASSES", "3"))
-    # First line: loop closing off — the reference's timing contract
-    # measures the TRACKING thread only (test.cpp:98-106).
-    fps, spread = measure(
-        n_passes, lambda: make_system(enable_loop_closing=False), frames
-    )
-    print(json.dumps({"detail": "loop_off_passes", **spread}))
-    print(
-        json.dumps(
-            {
-                "metric": "rgbd_tracking_fps",
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / 30.0, 3),
-            }
-        )
-    )
-    if os.environ.get("BENCH_ONLY_PRIMARY"):
+    only_primary = bool(os.environ.get("BENCH_ONLY_PRIMARY"))
+    # Passes of the two configs run INTERLEAVED (off, on, off, on, ...):
+    # the tunnel RTT drifts monotonically within an invocation (measured
+    # 57 -> 39 fps across three passes of identical code), so running
+    # all loop-off passes first would systematically bias the loop-on
+    # headline low.
+    passes_off, passes_on = [], []
+    for _ in range(n_passes):
+        _, stats = run(make_system(enable_loop_closing=False), frames)
+        passes_off.append(stats)
+        if not only_primary:
+            _, stats = run(make_system(enable_loop_closing=True), frames)
+            passes_on.append(stats)
+
+    def emit(passes, detail, metric):
+        fps_sorted = sorted(p["fps"] for p in passes)
+        med = fps_sorted[len(fps_sorted) // 2]
+        print(json.dumps({
+            "detail": detail, "passes": passes,
+            "fps_min": fps_sorted[0], "fps_median": med,
+            "fps_max": fps_sorted[-1],
+        }))
+        print(json.dumps({
+            "metric": metric, "value": round(med, 2), "unit": "frames/s",
+            "vs_baseline": round(med / 30.0, 3),
+        }))
+
+    # First: loop closing off — the reference's timing contract measures
+    # the TRACKING thread only (test.cpp:98-106).
+    emit(passes_off, "loop_off_passes", "rgbd_tracking_fps")
+    if only_primary:
         return
     # HEADLINE (last line, the one the driver parses): everything on.
     # Loop detection dispatches per keyframe and any accepted loop's
     # correction + interleaved global BA run inside the measured window;
     # the reference excludes all of that from its timing contract, so
     # this is the stricter number.
-    fps2, spread2 = measure(
-        n_passes, lambda: make_system(enable_loop_closing=True), frames
-    )
-    print(json.dumps({"detail": "loop_on_passes", **spread2}))
-    print(
-        json.dumps(
-            {
-                "metric": "rgbd_tracking_fps_loop_closing_on",
-                "value": round(fps2, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps2 / 30.0, 3),
-            }
-        )
-    )
+    emit(passes_on, "loop_on_passes", "rgbd_tracking_fps_loop_closing_on")
 
 
 if __name__ == "__main__":
