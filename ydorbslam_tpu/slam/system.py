@@ -384,6 +384,25 @@ class SlamSystem:
                 n_banks=cfg.loop.retrieval_banks,
                 bank_bits=cfg.loop.retrieval_bank_bits,
             )
+            # Sim3 verification fires on the FIRST surviving candidate
+            # set — mid-sequence, where its compile is a multi-second
+            # stall (a bench pass measured 10 s).  Same static kwargs as
+            # the LoopCloserImpl._compute_sim3 call site (tracing-cache
+            # keys); kf ids as python ints likewise.
+            from .loop_impl import _verify_pack
+
+            _, sub = jax.random.split(jax.random.PRNGKey(0))
+            _verify_pack(
+                self.map, 0, 0, sub, self.cam,
+                th_low=cfg.matcher.th_low,
+                ratio=cfg.matcher.ratio_reloc,
+                n_hypotheses=cfg.loop.ransac_max_iters,
+                min_inliers=cfg.loop.ransac_min_inliers,
+                sim3_iters=cfg.optim.sim3_iters,
+                scale_factor=cfg.orb.scale_factor,
+                n_levels=cfg.orb.n_levels,
+                guided_cap=cfg.capacity.tracking_points,
+            )
         jax.block_until_ready(m)
 
     # ------------------------------------------------------------------
