@@ -311,7 +311,7 @@ def _prep_core(
     )
 
     w = m.covis[kf_id] * m.kf_valid.astype(jnp.int32)
-    nvals, nids = jax.lax.top_k(w, n_neighbors)
+    nvals, nids = jax.lax.top_k(w, min(n_neighbors, m.K))
     nok = nvals > 0
 
     m = triangulate_neighbors_batch(
@@ -376,8 +376,11 @@ def _finish_core(
 
     # --- packed snapshot ------------------------------------------------
     culled = valid_before & ~m.kf_valid
-    cvals, cids = jax.lax.top_k(culled.astype(jnp.int32), SNAP_CULL_CAP)
+    kcap = min(SNAP_CULL_CAP, m.K)  # tiny-capacity maps: K can be < CAP
+    cvals, cids = jax.lax.top_k(culled.astype(jnp.int32), kcap)
     cids = jnp.where(cvals > 0, cids, -1)
+    if kcap < SNAP_CULL_CAP:
+        cids = jnp.pad(cids, (0, SNAP_CULL_CAP - kcap), constant_values=-1)
     cidc = jnp.clip(cids, 0, m.K - 1)
     # Freeze child->parent transforms of the culled nodes for record
     # rebasing (kf_T_c2p was just written by cull_keyframes).

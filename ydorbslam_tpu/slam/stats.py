@@ -21,6 +21,7 @@ class RunStats:
     inlier_frames: int = 0
     keyframes_inserted: int = 0
     keyframes_culled: int = 0
+    keyframes_dropped_capacity: int = 0  # max_keyframes exhausted
     local_ba_runs: int = 0
     reloc_attempts: int = 0
     reloc_successes: int = 0
@@ -54,7 +55,11 @@ def format_stats(d: dict) -> str:
         f"(lost {d['frames_lost']}, track rate {d['track_rate']:.3f})",
         f"mean inliers  {d['mean_inliers']:.1f}",
         f"keyframes     +{d['keyframes_inserted']} / -{d['keyframes_culled']} culled"
-        f"  (live {d.get('keyframes_live', '?')})",
+        f"  (live {d.get('keyframes_live', '?')})"
+        + (
+            f"  [{d['keyframes_dropped_capacity']} DROPPED: capacity]"
+            if d.get("keyframes_dropped_capacity") else ""
+        ),
         f"map points    live {d.get('map_points_live', '?')}",
         f"local BA      {d['local_ba_runs']} runs",
         f"reloc         {d['reloc_successes']}/{d['reloc_attempts']} succeeded",
