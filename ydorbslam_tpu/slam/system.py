@@ -196,6 +196,15 @@ class SlamSystem:
         self.tracker = Tracker(cfg)
         self.enable_mapping = enable_mapping
         self.enable_loop_closing = enable_loop_closing
+        # Per-frame outcome trace (diagnosis aid): when the env knob is
+        # set, every drained frame appends (timestamp, mode, ok,
+        # n_inliers, need_kf, inserted_kf) — the pipelined analog of
+        # watching the reference's per-frame tracking log.
+        import os as _os
+
+        self.frame_trace = (
+            [] if _os.environ.get("YDORBSLAM_TRACE_FRAMES") else None
+        )
         cap = cfg.capacity
         self.map = empty_map(
             cap.max_keyframes, cfg.n_keypoints, cap.max_map_points,
@@ -933,6 +942,11 @@ class SlamSystem:
                 else TrackingState.NOT_INITIALIZED
             )
         )
+        if self.frame_trace is not None:
+            self.frame_trace.append(
+                (timestamp, int(mode), bool(ok), int(info.n_inliers),
+                 bool(info.need_kf), False)
+            )
         if mode == MODE_LOST:
             if allow_reloc:
                 self._pipelined_relocalize(timestamp, int(info.ring_slot))
@@ -951,6 +965,8 @@ class SlamSystem:
                 )
                 self._pipe_frames_since_kf = 0
                 self._batch_inserted = True
+                if self.frame_trace is not None:
+                    self.frame_trace[-1] = self.frame_trace[-1][:5] + (True,)
 
     def _pipelined_relocalize(self, timestamp, slot):
         """Synchronous relocalization from a ring frame; on success the
