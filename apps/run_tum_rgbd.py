@@ -104,10 +104,10 @@ def main():
     print(format_stats(system.run_stats()))
 
     if system.frame_trace is not None:
-        print("--- frame trace (i mode ok inl kf?) ---")
-        for i, (ts, mode, ok, inl, need, ins) in enumerate(system.frame_trace):
-            print(f"{i:4d} m{mode} {'ok' if ok else 'LOST':4s} {inl:4d}"
-                  f"{' need' if need else ''}{' INS' if ins else ''}")
+        print("--- frame trace (i mode ok inl [need] [INS]) ---")
+        for i, (_ts, mode, ok, inl, need, ins) in enumerate(system.frame_trace):
+            flags = ("" if not need else " need") + ("" if not ins else " INS")
+            print(f"{i:4d} m{mode} {'ok' if ok else 'LOST':4s} {inl:4d}{flags}")
 
     if args.viz:
         from ydorbslam_tpu.viz.headless import render_map_topdown

@@ -5,6 +5,10 @@ Each op is dispatched N times back-to-back with a data dependency chain
 input so XLA cannot overlap batches), one sync at the end — device
 time, not tunnel RTT (see bench.py's chained() rationale).
 
+NOTE: dev tool, deliberately coupled to SlamSystem internals (_dstate,
+_trkset, ring layout) to probe exactly what the production step runs;
+expect it to need updating when those internals change.
+
 Run:  python tools/profile_step_ops.py
 """
 import sys
@@ -118,7 +122,7 @@ def main():
           f"{chained(lambda c: ml(T if c is None else c), probe_any):7.3f} ms")
 
     from ydorbslam_tpu.optim.pose import PoseObservations, optimize_pose
-    n = 1024
+    n = scfg.n_keypoints  # pose observations = keypoint capacity
     pos = jnp.zeros((n, 3)).at[:, 2].set(2.0)
     obs = PoseObservations(
         p_w=pos + jax.random.normal(jax.random.PRNGKey(0), (n, 3)) * 0.3,

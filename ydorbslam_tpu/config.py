@@ -64,6 +64,13 @@ class OrbConfig:
     n_levels: int = 8
     ini_th_fast: int = 20
     min_th_fast: int = 7
+    # Sub-pixel corner refinement (ops/fast.fast_subpixel_offsets) — a
+    # deliberate accuracy improvement over the reference's integer FAST
+    # corners.  Default on; turn off to restore reference keypoint
+    # cadence on robustness-sensitive workloads (docs/ACCURACY.md: on
+    # warped_tum x6 the sharper matching changes the keyframe-decision
+    # interplay).
+    subpixel: bool = True
 
 
 @dataclass(frozen=True)

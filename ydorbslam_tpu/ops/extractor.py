@@ -86,7 +86,7 @@ def empty_features(n: int) -> FrameFeatures:
     jax.jit,
     static_argnames=(
         "n_features", "capacity", "n_levels", "scale_factor",
-        "th_high", "th_low", "has_distortion",
+        "th_high", "th_low", "has_distortion", "subpixel",
     ),
 )
 def extract_orb(
@@ -99,6 +99,7 @@ def extract_orb(
     th_high: int = 20,
     th_low: int = 7,
     has_distortion: bool = True,
+    subpixel: bool = True,
 ) -> FrameFeatures:
     """(H, W) image (uint8 or float32) -> FrameFeatures with capacity
     rows.  uint8 input is converted ON DEVICE — sensors deliver 8-bit
@@ -145,7 +146,8 @@ def extract_orb(
         # the cost of one (16, k, 3, 3) elementwise pass.  Orientation/
         # BRIEF stay on the integer-centered patch (as in the
         # reference, which never re-samples either).
-        uv_l = uv_l + fast_subpixel_offsets(patch)
+        if subpixel:
+            uv_l = uv_l + fast_subpixel_offsets(patch)
 
         uvs.append(uv_l * scales[level])
         resps.append(resp)

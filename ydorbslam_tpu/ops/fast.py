@@ -172,5 +172,12 @@ def fast_subpixel_offsets(patches: jax.Array) -> jax.Array:
     ok = (
         (s[:, 1, 0] > 0.0) & (s[:, 1, 2] > 0.0)
         & (s[:, 0, 1] > 0.0) & (s[:, 2, 1] > 0.0)
+        # Center-is-max guard: the NMS peak was selected on the float32
+        # score map, but these scores come from the uint8-rounded patch —
+        # near plateaus the recomputed 3x3 center may not be the local
+        # max, and a parabola around a non-peak saturates at the +-0.5
+        # clip.  Fall back to the integer corner instead.
+        & (s[:, 1, 1] >= s[:, 1, 0]) & (s[:, 1, 1] >= s[:, 1, 2])
+        & (s[:, 1, 1] >= s[:, 0, 1]) & (s[:, 1, 1] >= s[:, 2, 1])
     )
     return jnp.where(ok[:, None], jnp.stack([dx, dy], axis=-1), 0.0)

@@ -138,7 +138,7 @@ def empty_track_state(n: int, n_track_pts: int = 8192) -> TrackState:
         "n_features", "capacity", "n_levels", "scale_factor",
         "th_high", "th_low", "min_motion", "min_local", "min_init",
         "min_after_reloc", "fps",
-        "close_tracked_max", "close_untracked_min", "loc_mode",
+        "close_tracked_max", "close_untracked_min", "loc_mode", "subpixel",
     ),
     donate_argnums=(0,),
 )
@@ -165,6 +165,7 @@ def rgbd_frame_step(
     close_untracked_min: int = 70,
     loc_mode: bool = False,
     depth_scale=1.0,
+    subpixel: bool = True,
 ):
     """One full RGB-D tracking step on device. Returns state' (the packed
     per-frame outcome lands in state.ring_info — fetched in batches).
@@ -176,6 +177,7 @@ def rgbd_frame_step(
         gray, cam, n_features=n_features, capacity=capacity,
         n_levels=n_levels, scale_factor=scale_factor,
         th_high=th_high, th_low=th_low, has_distortion=False,
+        subpixel=subpixel,
     )
     depth = depth.astype(jnp.float32) * depth_scale
     feats = fill_depth_from_rgbd(feats, depth, cam)
@@ -193,7 +195,7 @@ def rgbd_frame_step(
         "n_features", "capacity", "n_levels", "scale_factor",
         "th_high", "th_low", "min_motion", "min_local", "min_init",
         "min_after_reloc", "fps",
-        "close_tracked_max", "close_untracked_min", "loc_mode",
+        "close_tracked_max", "close_untracked_min", "loc_mode", "subpixel",
     ),
     donate_argnums=(0,),
 )
@@ -219,6 +221,7 @@ def stereo_frame_step(
     close_tracked_max: int = 100,
     close_untracked_min: int = 70,
     loc_mode: bool = False,
+    subpixel: bool = True,
 ):
     """One full STEREO tracking step on device: dual extraction +
     row-band stereo association + the shared tracking core."""
@@ -229,11 +232,13 @@ def stereo_frame_step(
         gray_l, cam, n_features=n_features, capacity=capacity,
         n_levels=n_levels, scale_factor=scale_factor,
         th_high=th_high, th_low=th_low, has_distortion=False,
+        subpixel=subpixel,
     )
     fr = extract_orb(
         gray_r, cam, n_features=n_features, capacity=capacity,
         n_levels=n_levels, scale_factor=scale_factor,
         th_high=th_high, th_low=th_low, has_distortion=False,
+        subpixel=subpixel,
     )
     pl_ = build_pyramid(gray_l, n_levels, scale_factor)
     pr_ = build_pyramid(gray_r, n_levels, scale_factor)

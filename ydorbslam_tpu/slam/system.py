@@ -306,6 +306,7 @@ class SlamSystem:
             n_features=o.n_features, capacity=cfg.n_keypoints,
             n_levels=o.n_levels, scale_factor=o.scale_factor,
             th_high=o.ini_th_fast, th_low=o.min_th_fast,
+            subpixel=o.subpixel,
             min_motion=cfg.tracking.min_matches_motion,
             min_local=cfg.tracking.min_matches_local_map,
             min_init=cfg.tracking.min_init_depth_points,
@@ -720,6 +721,7 @@ class SlamSystem:
             n_features=o.n_features, capacity=cfg.n_keypoints,
             n_levels=o.n_levels, scale_factor=o.scale_factor,
             th_high=o.ini_th_fast, th_low=o.min_th_fast,
+            subpixel=o.subpixel,
             min_motion=cfg.tracking.min_matches_motion,
             min_local=cfg.tracking.min_matches_local_map,
             min_init=cfg.tracking.min_init_depth_points,
@@ -752,6 +754,7 @@ class SlamSystem:
             n_features=o.n_features, capacity=cfg.n_keypoints,
             n_levels=o.n_levels, scale_factor=o.scale_factor,
             th_high=o.ini_th_fast, th_low=o.min_th_fast,
+            subpixel=o.subpixel,
             min_motion=cfg.tracking.min_matches_motion,
             min_local=cfg.tracking.min_matches_local_map,
             min_init=cfg.tracking.min_init_depth_points,

@@ -129,6 +129,7 @@ class Tracker:
             n_features=o.n_features, capacity=self.cfg.n_keypoints,
             n_levels=o.n_levels, scale_factor=o.scale_factor,
             th_high=o.ini_th_fast, th_low=o.min_th_fast,
+            subpixel=o.subpixel,
             has_distortion=has_dist,
         )
 
