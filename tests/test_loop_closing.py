@@ -26,7 +26,11 @@ def make_cfg():
                             width=640, height=480),
         orb=OrbConfig(n_features=N_KP),
         loop=LoopConfig(min_kfs_between_loops=4, covisibility_consistency_th=1,
-                        min_total_matches=30),
+                        min_total_matches=30,
+                        # hand-built map: keyframes never advance the
+                        # system frame counter, so the temporal
+                        # wrong-pair gate must be off
+                        min_frame_gap=0),
         capacity=CapacityConfig(
             max_keypoints=N_KP, max_keyframes=16, max_map_points=4096,
             max_obs_per_point=12, local_ba_window_kf=8, local_ba_fixed_kf=4,

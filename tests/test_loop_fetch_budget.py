@@ -87,12 +87,12 @@ def test_loop_event_fetch_budget(monkeypatch):
         finally:
             counter.phase = "other"
 
-    def co(self, kf1, kf2, S_12):
+    def co(self, kf1, kf2, S_12, matched_mp):
         counter.phase = "correct"
         calls["correct"] += 1
         try:
             with _no_direct_exports():
-                return orig_co(self, kf1, kf2, S_12)
+                return orig_co(self, kf1, kf2, S_12, matched_mp)
         finally:
             counter.phase = "other"
 

@@ -215,6 +215,14 @@ def test_drifted_revisit_closes_loop_and_corrects():
     post_err = min(errs[loop_frame + 1 :])
     assert post_err < pre_err / 2, (pre_err, post_err)
     assert sys.loop_closer.n_loops_closed >= 1
+    # LoopConnections parity (loopClosing.cpp:311-325): the whole-group
+    # fusion must anchor the essential graph with MORE than the single
+    # kf1->kf2 bridging edge — new cross-loop covisibility links.
+    assert sys.stats.loop_conn_edges, "no loop-connection record"
+    assert sys.stats.loop_conn_edges[0] > 1, (
+        "essential graph has no cross-loop covisibility anchors beyond "
+        f"the main pair: {sys.stats.loop_conn_edges}"
+    )
     # observability: the run stats saw the same story
     d = sys.run_stats()
     assert d["loops_closed"] >= 1

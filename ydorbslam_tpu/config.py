@@ -145,6 +145,15 @@ class LoopConfig:
 
     min_kfs_between_loops: int = 10
     covisibility_consistency_th: int = 3
+    # Temporal wrong-pair guard (deviation, documented in PARITY.md):
+    # the reference excludes loop candidates only through covisibility
+    # connectivity (keyFrameDatabase.cpp:26-105), which a LOST stretch
+    # defeats — two temporally adjacent keyframes separated by a
+    # tracking loss are covisibility-disconnected and can close a
+    # catastrophic false "loop" (observed r4: frame 120 -> 109,
+    # ACCURACY.md).  Candidates whose source frame id is within this
+    # many frames of the query are rejected at the database gate.
+    min_frame_gap: int = 30
     min_bow_matches: int = 20
     min_sim3_inliers: int = 20
     min_total_matches: int = 40
@@ -196,6 +205,13 @@ class CapacityConfig:
     reloc_candidates: int = 8
     loop_candidates: int = 8
     ransac_batch: int = 256  # vmapped RANSAC hypotheses per round
+    # Loop-closure searchAndFuse windows (loopClosing.cpp:311,339-352):
+    # the loop-side point set and the corrected-group keyframe targets
+    # are capacity-capped like every other window in the system
+    # (strongest-covisibility first; overflow never silent — the
+    # correction logs when the group exceeds the cap).
+    loop_fuse_points: int = 4096
+    loop_fuse_group: int = 16
 
 
 @dataclass(frozen=True)

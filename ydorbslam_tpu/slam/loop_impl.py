@@ -34,7 +34,6 @@ from .map_state import MapState
 from .matchers import match_dense, match_local_points
 from .retrieval import add_keyframe as retr_add
 from .retrieval import bow_histogram, detect_candidates, score_all
-from .triangulate import _fuse_into_kf
 
 
 import functools
@@ -64,8 +63,13 @@ def _verify_pack(
 ):
     """Fused geometric verification (loopClosing.cpp:115-228): dense
     appearance match -> Horn RANSAC -> Sim3 refinement -> guided
-    projection count, ONE program, one (20,) packed result:
-    [n_matches, ransac_ok, n_sim3_inliers, n_guided_total, S_ref(16)].
+    projection, ONE program.  Returns (pack, matched_mp): ``pack`` is
+    the (20,) gate vector [n_matches, ransac_ok, n_sim3_inliers,
+    n_guided_total, S_ref(16)] — the ONLY host fetch of verification —
+    and ``matched_mp`` (N,) is the guided loop-point assignment per kf1
+    keypoint (the reference's m_v_matchedMapPoints,
+    loopClosing.cpp:196-227), which stays on device and feeds the
+    correction's point binding (loopClosing.cpp:295-305).
     """
     from ..ops.extractor import FrameFeatures
 
@@ -135,7 +139,10 @@ def _verify_pack(
         th=2.0, n_levels=n_levels, scale_factor=scale_factor,
     )
     total = jnp.sum(gassign >= 0)
-    return jnp.concatenate([
+    matched_mp = jnp.where(
+        gassign >= 0, pts[jnp.clip(gassign, 0, pts.shape[0] - 1)], -1
+    ).astype(jnp.int32)
+    pack = jnp.concatenate([
         jnp.stack([
             n_matches.astype(jnp.float32),
             res.ok.astype(jnp.float32),
@@ -144,16 +151,20 @@ def _verify_pack(
         ]),
         S_ref.reshape(16),
     ])
+    return pack, matched_mp
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_out", "consistency_th", "n_banks", "bank_bits"),
+    static_argnames=(
+        "max_out", "consistency_th", "n_banks", "bank_bits",
+        "min_frame_gap",
+    ),
 )
 def _detect_on_device(
     m: MapState, retrieval, kf_id, prev_masks, prev_counts,
     max_out: int, consistency_th: int,
-    n_banks: int = 4, bank_bits: int = 12,
+    n_banks: int = 4, bank_bits: int = 12, min_frame_gap: int = 0,
 ):
     """Fused loop-candidate detection + covisibility-consistency update.
 
@@ -170,11 +181,12 @@ def _detect_on_device(
     _, scores = score_all(retrieval, q)
     return _detect_body(
         m, retrieval, kf_id, prev_masks, prev_counts, q, scores,
-        max_out, consistency_th,
+        max_out, consistency_th, min_frame_gap,
     )
 
 
-def make_sharded_detect(mesh, max_out, consistency_th, n_banks, bank_bits):
+def make_sharded_detect(mesh, max_out, consistency_th, n_banks, bank_bits,
+                        min_frame_gap=0):
     """Production detection with KEYFRAME-SHARDED retrieval scoring.
 
     Same program as _detect_on_device except the score pass runs as a
@@ -193,7 +205,7 @@ def make_sharded_detect(mesh, max_out, consistency_th, n_banks, bank_bits):
         _, scores = score_all_sharded(mesh, retrieval, q)
         return _detect_body(
             m, retrieval, kf_id, prev_masks, prev_counts, q, scores,
-            max_out, consistency_th,
+            max_out, consistency_th, min_frame_gap,
         )
 
     return detect
@@ -201,7 +213,7 @@ def make_sharded_detect(mesh, max_out, consistency_th, n_banks, bank_bits):
 
 def _detect_body(
     m, retrieval, kf_id, prev_masks, prev_counts, q, scores,
-    max_out, consistency_th,
+    max_out, consistency_th, min_frame_gap=0,
 ):
     connected = (m.covis[kf_id] > 0).at[kf_id].set(True)
     neigh = connected & (jnp.arange(m.K) != kf_id) & retrieval.valid
@@ -210,6 +222,16 @@ def _detect_body(
     ids, _ = detect_candidates(
         retrieval, q, connected, m.covis, min_score, max_out=max_out
     )
+    # Temporal wrong-pair guard (see LoopConfig.min_frame_gap): a
+    # candidate minted within the gap of the query frame is a
+    # lost-stretch neighbor, not a revisit — covisibility disconnection
+    # alone cannot tell the two apart.
+    if min_frame_gap > 0:
+        idg = jnp.clip(ids, 0, m.K - 1)
+        gap_ok = jnp.abs(
+            m.kf_frame_id[idg] - m.kf_frame_id[kf_id]
+        ) >= min_frame_gap
+        ids = jnp.where(gap_ok, ids, -1)
     # Consistency groups: candidate group = candidate + its covisibles.
     idc = jnp.clip(ids, 0, m.K - 1)
     masks = (m.covis[idc] > 0) | jax.nn.one_hot(idc, m.K, dtype=bool)
@@ -294,17 +316,110 @@ def _merge_gba(m: MapState, T_new, p_new, pts, valid0, fid0, kf_count_start):
     return m._replace(kf_pose=kf_pose, mp_pos=mp_pos)
 
 
-@jax.jit
-def _correct_on_device(m: MapState, kf1, kf2, S_12):
-    """Batched loop correction: corrected Sim3 for kf1's covisible
-    group, group map points moved old-pose -> corrected-pose, keyframe
-    poses scattered, loop edge recorded (loopClosing.cpp:250-305).
+def _fuse_match_into_kf(m: MapState, g, pts, pvalid, cam,
+                        scale_factor: float, n_levels: int):
+    """fuseBySim3 candidate search for ONE target keyframe
+    (src/orbMatcher.cpp:746-807): project the loop points with the
+    target's (already corrected) pose; gates = in front + in image,
+    distance in [0.8*min, 1.2*max] invariance band, view-cos >= 0.5,
+    radius 4*scale^pred window, octave in [pred-1, pred], best Hamming
+    <= TH_LOW, no ratio test, no rotation histogram.
 
-    Returns (new map, host bundle) where the bundle carries everything
-    the essential-graph assembly reads: old/corrected poses, the group
-    mask, covisibility, validity, spanning tree, loop edges, and the
-    live point count for the global-BA budget log.
+    Returns per-keypoint candidate index into ``pts`` (-1 = none).
     """
+    from ..ops.extractor import FrameFeatures
+    from .matchers import (TH_LOW, predict_scale_level, project_sources,
+                          search_by_projection)
+
+    idc = jnp.clip(pts, 0, m.M - 1)
+    T = m.kf_pose[g]
+    pos = m.mp_pos[idc]
+    proj = project_sources(cam, T, pos, pvalid & m.mp_valid[idc])
+    cam_center = -T[:3, :3].T @ T[:3, 3]
+    po = pos - cam_center[None]
+    dist = jnp.linalg.norm(po, axis=-1)
+    view_cos = jnp.sum(po * m.mp_normal[idc], axis=-1) / jnp.maximum(
+        dist * jnp.linalg.norm(m.mp_normal[idc], axis=-1), 1e-6
+    )
+    band_ok = (dist >= 0.8 * m.mp_min_dist[idc]) & (
+        dist <= 1.2 * m.mp_max_dist[idc]
+    )
+    proj = proj._replace(valid=proj.valid & band_ok & (view_cos >= 0.5))
+    pred = predict_scale_level(
+        dist, 1.2 * m.mp_max_dist[idc], n_levels, scale_factor
+    )
+    scales = scale_factor ** jnp.arange(n_levels, dtype=jnp.float32)
+    radius = 4.0 * scales[pred]
+    feats = FrameFeatures(
+        uv=m.kf_uv[g], uv_raw=m.kf_uv[g],
+        response=jnp.zeros((m.N,)), octave=m.kf_octave[g],
+        angle=m.kf_angle[g], desc=m.kf_desc[g],
+        right_u=m.kf_right_u[g], depth=m.kf_depth[g],
+        valid=m.kf_kp_valid[g],
+    )
+    assign, _ = search_by_projection(
+        feats, m.mp_desc[idc], proj, radius, pred - 1, pred,
+        max_dist=TH_LOW, ratio=None, src_angle=None, check_ur=False,
+    )
+    return assign
+
+
+def _bind_points_into_kf(m: MapState, g, q: jax.Array,
+                         scale_factor: float, n_levels: int) -> MapState:
+    """Bind/replace candidate points ``q`` (N,) into keyframe ``g``:
+    empty keypoint slots bind (addObservation + addMapPoint,
+    loopClosing.cpp:299-303), occupied slots hand their existing point
+    to the candidate via beReplacedBy (loopClosing.cpp:297, 344-350 —
+    the loop-side point SURVIVES, absorbing the current-side point's
+    observations; this is what creates cross-loop covisibility)."""
+    from .map_state import add_observations_multi, replace_points
+
+    qc = jnp.clip(q, 0, m.M - 1)
+    already = jnp.any(m.mp_obs_kf[qc] == g, axis=-1)  # q already in g
+    vq = (q >= 0) & m.mp_valid[qc] & ~already
+    p_exist = m.kf_mp[g]
+    bind = vq & (p_exist < 0)
+    repl = vq & (p_exist >= 0) & (p_exist != q)
+    kp_idx = jnp.arange(m.N, dtype=jnp.int32)
+    m, okw = add_observations_multi(
+        m, jnp.where(bind, q, -1),
+        jnp.full((m.N,), 1, jnp.int32) * g, kp_idx, bind,
+    )
+    m = m._replace(
+        kf_mp=m.kf_mp.at[g].set(jnp.where(bind & okw, q, p_exist))
+    )
+    return replace_points(
+        m, jnp.where(repl, p_exist, -1), q, repl, scale_factor, n_levels
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "scale_factor", "n_levels", "fuse_pts_cap", "fuse_group_cap",
+    ),
+)
+def _correct_on_device(
+    m: MapState, kf1, kf2, S_12, matched_mp, cam,
+    scale_factor: float, n_levels: int,
+    fuse_pts_cap: int, fuse_group_cap: int,
+):
+    """The WHOLE loop correction as one device program
+    (loopClosing.cpp:229-352): corrected Sim3 propagated to kf1's
+    covisible group and its points; the guided loop-point matches bound
+    into kf1 (beReplacedBy / addObservation, :295-305); searchAndFuse
+    of the loop-side point set into EVERY corrected-group keyframe
+    (:311, :339-352); covisibility rebuilt post-fusion so the host can
+    read off the NEW cross-loop links (loopConnections, :311-325).
+
+    Returns (new map, host bundle); the bundle carries everything the
+    essential-graph assembly needs — old/corrected poses, group mask,
+    PRE- and POST-fusion covisibility, validity, spanning tree, loop
+    edges, fuse-group overflow count, and the live point count.
+    """
+    from .map_state import recompute_covis_all
+
+    covis_before = m.covis
     old_poses = m.kf_pose
     group = ((m.covis[kf1] > 0) & m.kf_valid).at[kf1].set(True)  # (K,)
     S_cw_corr = S_12 @ old_poses[kf2]
@@ -344,9 +459,60 @@ def _correct_on_device(m: MapState, kf1, kf2, S_12):
         kf_pose=kf_pose,
         loop_edge=m.loop_edge.at[kf1].set(kf2),
     )
+
+    # ---- matched-point binding at kf1 (loopClosing.cpp:295-305) ----
+    new_m = _bind_points_into_kf(
+        new_m, kf1, matched_mp, scale_factor, n_levels
+    )
+
+    # ---- whole-group searchAndFuse (loopClosing.cpp:311, 339-352) ----
+    # Loop-side point set: kf2 + ALL its covisibles' points (the
+    # reference's m_v_loopMapPoints, loopClosing.cpp:196-204), capped.
+    lsel = ((covis_before[kf2] > 0) & new_m.kf_valid).at[kf2].set(True)
+    l_kf_sel = lsel[:, None] & (new_m.kf_mp >= 0)
+    l_member = jnp.zeros((new_m.M,), bool).at[
+        jnp.clip(new_m.kf_mp, 0, new_m.M - 1)
+    ].max(l_kf_sel, mode="drop") & new_m.mp_valid
+    order = jnp.where(l_member, jnp.arange(new_m.M), new_m.M)
+    pts = jnp.sort(order)[:fuse_pts_cap].astype(jnp.int32)
+    pvalid = pts < new_m.M
+    pts = jnp.where(pvalid, pts, -1)
+
+    # Fuse targets: kf1 + the strongest covisible group members.
+    K = new_m.K
+    others_w = jnp.where(
+        group & (jnp.arange(K) != kf1), covis_before[kf1], -1
+    )
+    n_others = min(fuse_group_cap - 1, K - 1)
+    gvals, gids = jax.lax.top_k(others_w, n_others)
+    g_list = jnp.concatenate(
+        [jnp.asarray(kf1, jnp.int32)[None], gids.astype(jnp.int32)]
+    )
+    g_ok = jnp.concatenate([jnp.ones((1,), bool), gvals > 0])
+    n_group_skipped = jnp.maximum(
+        jnp.sum(group) - jnp.int32(fuse_group_cap), 0
+    )
+
+    def fuse_step(mm, gi):
+        g, gok = gi
+        assign = _fuse_match_into_kf(
+            mm, g, pts, pvalid, cam, scale_factor, n_levels
+        )
+        q = jnp.where(
+            (assign >= 0) & gok,
+            pts[jnp.clip(assign, 0, pts.shape[0] - 1)], -1,
+        )
+        return _bind_points_into_kf(mm, g, q, scale_factor, n_levels), None
+
+    new_m, _ = jax.lax.scan(fuse_step, new_m, (g_list, g_ok))
+
+    # ---- post-fusion covisibility (updateConnections sweep) ----
+    new_m = recompute_covis_all(new_m)
+
     bundle = (
-        old_poses, corrected_all, group, new_m.covis, new_m.kf_valid,
-        new_m.parent, new_m.loop_edge, jnp.sum(new_m.mp_valid),
+        old_poses, corrected_all, group, covis_before, new_m.covis,
+        new_m.kf_valid, new_m.parent, new_m.loop_edge, n_group_skipped,
+        jnp.sum(new_m.mp_valid),
     )
     return new_m, bundle
 
@@ -387,6 +553,7 @@ class LoopCloserImpl:
                 cfg.loop.covisibility_consistency_th,
                 cfg.loop.retrieval_banks,
                 cfg.loop.retrieval_bank_bits,
+                cfg.loop.min_frame_gap,
             )
 
     # ------------------------------------------------------------------
@@ -441,6 +608,7 @@ class LoopCloserImpl:
                 C, sys.cfg.loop.covisibility_consistency_th,
                 n_banks=sys.cfg.loop.retrieval_banks,
                 bank_bits=sys.cfg.loop.retrieval_bank_bits,
+                min_frame_gap=sys.cfg.loop.min_frame_gap,
             )
         self.closer.consistent_groups = (masks, counts.astype(jnp.int32))
         # The worker thread absorbs the device->host round trip; the
@@ -473,13 +641,13 @@ class LoopCloserImpl:
         for cand in cands:
             hit = self._compute_sim3(kf_id, cand)
             if hit is not None:
-                S_12, _ = hit
+                S_12, _, matched_mp = hit
                 sys.stats.loop_events.append((
                     int(snap["kf_frame_id"][kf_id]),
                     int(snap["kf_frame_id"][cand]),
                     float(jnp.linalg.norm(S_12[:3, 3])),
                 ))
-                self._correct(kf_id, cand, S_12)
+                self._correct(kf_id, cand, S_12, matched_mp)
                 closer.last_loop_kf_count = sys.n_keyframes
                 closer.n_loops_closed += 1
                 closer.consistent_groups = []  # re-initialized lazily
@@ -503,19 +671,18 @@ class LoopCloserImpl:
         sys = self.system
         cfg = sys.cfg
         self.key, sub = jax.random.split(self.key)
-        pack = _fetch(
-            _verify_pack(
-                sys.map, kf1, kf2, sub, sys.cam,
-                th_low=cfg.matcher.th_low,
-                ratio=cfg.matcher.ratio_reloc,
-                n_hypotheses=cfg.loop.ransac_max_iters,
-                min_inliers=cfg.loop.ransac_min_inliers,
-                sim3_iters=cfg.optim.sim3_iters,
-                scale_factor=cfg.orb.scale_factor,
-                n_levels=cfg.orb.n_levels,
-                guided_cap=cfg.capacity.tracking_points,
-            )
+        pack_dev, matched_mp = _verify_pack(
+            sys.map, kf1, kf2, sub, sys.cam,
+            th_low=cfg.matcher.th_low,
+            ratio=cfg.matcher.ratio_reloc,
+            n_hypotheses=cfg.loop.ransac_max_iters,
+            min_inliers=cfg.loop.ransac_min_inliers,
+            sim3_iters=cfg.optim.sim3_iters,
+            scale_factor=cfg.orb.scale_factor,
+            n_levels=cfg.orb.n_levels,
+            guided_cap=cfg.capacity.tracking_points,
         )
+        pack = _fetch(pack_dev)  # matched_mp stays on device
         n_matches, ransac_ok, n_in, total = (
             int(pack[0]), bool(pack[1] > 0.5), int(pack[2]), int(pack[3])
         )
@@ -533,40 +700,47 @@ class LoopCloserImpl:
             fails["guided"] = fails.get("guided", 0) + 1
             return None
         S_ref = jnp.asarray(pack[4:20].reshape(4, 4))
-        return S_ref, total
+        return S_ref, total, matched_mp
 
     # ------------------------------------------------------------------
-    def _correct(self, kf1: int, kf2: int, S_12) -> None:
-        """Loop correction (loopClosing.cpp:229-337) + global BA.
+    def _correct(self, kf1: int, kf2: int, S_12, matched_mp) -> None:
+        """Loop correction (loopClosing.cpp:229-352) + global BA.
 
-        ONE device program corrects the covisible group and its points
-        (loopClosing.cpp:250-305 walks them one mutex-guarded object at
+        ONE device program runs the ENTIRE correction — group Sim3
+        propagation, guided-match binding at kf1, whole-group
+        searchAndFuse of the loop-side points, post-fusion covisibility
+        rebuild (the reference walks these one mutex-guarded object at
         a time; per-member device traffic through the remote tunnel
-        costs a round trip each) and ONE bundled fetch pulls everything
-        the host-side essential-graph assembly needs.
+        costs a round trip each) — and ONE bundled fetch pulls
+        everything the host-side essential-graph assembly needs,
+        including the pre/post-fusion covisibility pair that yields the
+        loopConnections edge set.
         """
         sys = self.system
         cfg = sys.cfg
-        new_m, bundle = _correct_on_device(sys.map, kf1, kf2, S_12)
+        new_m, bundle = _correct_on_device(
+            sys.map, kf1, kf2, S_12, matched_mp, sys.cam,
+            scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels,
+            fuse_pts_cap=cfg.capacity.loop_fuse_points,
+            fuse_group_cap=cfg.capacity.loop_fuse_group,
+        )
         sys.map = new_m
-        (old_np, corrected_np, group_np, covis_np, kf_valid_np,
-         parent_np, loop_edge_np, n_valid_pts) = _fetch(bundle)
-
-        # Fuse loop-side points into the corrected group (searchAndFuse).
-        strong = np.argsort(-covis_np[kf1] * group_np)[:5]
-        fuse_targets = [int(kf1)] + [
-            int(g) for g in strong if group_np[g] and int(g) != kf1
-        ]
-        for k in fuse_targets:
-            sys.map = _fuse_into_kf(
-                sys.map, kf2, k, sys.cam, cfg.orb.scale_factor, cfg.orb.n_levels
+        (old_np, corrected_np, group_np, covis_before_np, covis_after_np,
+         kf_valid_np, parent_np, loop_edge_np, n_group_skipped,
+         n_valid_pts) = _fetch(bundle)
+        if int(n_group_skipped) > 0:
+            print(
+                f"[loop] searchAndFuse: corrected group exceeds "
+                f"capacity.loop_fuse_group by {int(n_group_skipped)} "
+                f"keyframes; weakest-covisibility members not fused"
             )
 
         # Essential graph over all keyframes (host assembly from the
         # prefetched bundle; device solve).
         sys.map = self._essential_graph(
             sys.map, kf1, kf2, old_np, corrected_np, group_np,
-            covis_np, kf_valid_np, parent_np, loop_edge_np,
+            covis_before_np, covis_after_np, kf_valid_np, parent_np,
+            loop_edge_np,
         )
 
         # Global BA (10 iterations, loopClosing.cpp:380) — STARTED here,
@@ -579,23 +753,42 @@ class LoopCloserImpl:
 
     def _essential_graph(
         self, m: MapState, kf1, kf2, old_np, corrected_np, group_np,
-        covis_np, kf_valid_np, parent_np, loop_edge_np,
+        covis_before_np, covis_after_np, kf_valid_np, parent_np,
+        loop_edge_np,
     ):
         """Essential-graph optimization (optimizer.cpp:502-661).  Edge
         assembly is host Python over the PREFETCHED bundle (zero
-        additional device traffic); the Sim3 solve runs on device."""
+        additional device traffic); the Sim3 solve runs on device.
+
+        Edge set, in insertion order (first insertion of a pair wins):
+          1. loopConnections — covisibility links that are NEW since the
+             fusion (weight >= essential_min_covis_weight post-fusion,
+             not connected pre-fusion, one endpoint in the corrected
+             group, the other outside), measured with CORRECTED poses
+             (loopClosing.cpp:311-325 + optimizer.cpp:547-563).  These
+             are the cross-loop anchors; without them one bridging edge
+             would pull the whole graph.
+          2. spanning tree + prior loop edges, measured with the
+             non-corrected poses (optimizer.cpp:565-605).
+          3. strong covisibility (weight >= 100 POST-fusion), measured
+             non-corrected (optimizer.cpp:606-625).
+        """
         cfg = self.system.cfg
         K = m.K
-        covis = covis_np
         kf_valid = kf_valid_np
         parent = parent_np
         loop_edge = loop_edge_np
         old_npl = old_np
         ei, ej, meas, w = [], [], [], []
+        inserted = set()
 
         def add_edge(i, j, weight, use_corrected=False):
             if i < 0 or j < 0 or i == j or not (kf_valid[i] and kf_valid[j]):
                 return
+            key = (min(i, j), max(i, j))
+            if key in inserted:
+                return
+            inserted.add(key)
             if use_corrected:
                 Si = corrected_np[i] if group_np[i] else old_npl[i]
                 Sj = corrected_np[j] if group_np[j] else old_npl[j]
@@ -606,15 +799,32 @@ class LoopCloserImpl:
             meas.append(Si @ np.linalg.inv(Sj))
             w.append(weight)
 
+        # 1. loopConnections (new cross-loop links).  "Connected" uses
+        # the reference's updateConnections threshold (15,
+        # keyFrame.cpp:37-96) for the was-connected test; the edge
+        # itself needs the essential weight (optimizer.cpp:550).
+        wmin = cfg.optim.essential_min_covis_weight
+        new_link = np.argwhere(
+            (covis_after_np >= wmin)
+            & (covis_before_np < 15)
+            & group_np[:, None]
+            & ~group_np[None, :]
+        )
+        for i, j in new_link:
+            add_edge(int(i), int(j), 1.0, use_corrected=True)
+        self.system.stats.loop_conn_edges.append(int(len(new_link)))
+
+        # 2. spanning tree + prior loop edges.
         for i in range(K):
             if not kf_valid[i]:
                 continue
             add_edge(i, int(parent[i]), 1.0)
             if loop_edge[i] >= 0:
                 add_edge(i, int(loop_edge[i]), 1.0, use_corrected=(i == kf1))
-        # Strong-covisibility edges (weight >= 100, optimizer.cpp:608).
+        # 3. strong-covisibility edges (weight >= 100, optimizer.cpp:608),
+        # post-fusion weights.
         strong = np.argwhere(
-            np.triu(covis, 1) >= cfg.optim.essential_min_covis_weight
+            np.triu(covis_after_np, 1) >= wmin
         )
         for i, j in strong:
             add_edge(int(i), int(j), 1.0)

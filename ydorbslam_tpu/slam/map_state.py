@@ -360,6 +360,147 @@ def refresh_points(
     )
 
 
+def replace_points(
+    m: MapState,
+    old_ids: jax.Array,
+    new_ids: jax.Array,
+    ok: jax.Array,
+    scale_factor: float,
+    n_levels: int,
+) -> MapState:
+    """Batched ``MapPoint::beReplacedBy`` (src/mapPoint.cpp:128-157):
+    each surviving point ``new`` absorbs the observations of its dying
+    ``old`` — every keyframe slot bound to ``old`` rebinds to ``new``
+    (unless ``new`` is already observed there, in which case the slot is
+    erased), found/visible counters fold in, ``old`` is invalidated, and
+    the survivors' distinctive descriptor / normal / scale band refresh.
+
+    This is the primitive behind loop-closure point binding and
+    whole-group ``searchAndFuse`` (loopClosing.cpp:295-352) — the
+    mechanism that creates CROSS-LOOP covisibility links: after
+    replacement the survivor is co-observed by keyframes on both sides
+    of the loop, which is exactly what the essential graph's
+    loopConnections edge set reads off (loopClosing.cpp:311-325).
+
+    Batch rules replacing the reference's sequential calls: duplicate
+    ``old`` entries keep the first row; rows whose ``old`` appears as a
+    ``new`` elsewhere (or vice versa) are dropped — replacement chains
+    must go through a second call.
+    """
+    R = old_ids.shape[0]
+    oldc = jnp.clip(old_ids, 0, m.M - 1)
+    newc = jnp.clip(new_ids, 0, m.M - 1)
+    ok = (
+        ok & (old_ids >= 0) & (new_ids >= 0) & (old_ids != new_ids)
+        & m.mp_valid[oldc] & m.mp_valid[newc]
+    )
+    # First occurrence wins for a repeated old id.
+    rows = jnp.arange(R, dtype=jnp.int32)
+    first = jnp.full((m.M + 1,), R, jnp.int32).at[
+        jnp.where(ok, oldc, m.M)
+    ].min(rows, mode="drop")
+    ok &= first[oldc] == rows
+    # Chain guard (conservative: tested against the whole batch).
+    used_new = jnp.zeros((m.M,), bool).at[
+        jnp.where(ok, newc, m.M)
+    ].set(True, mode="drop")
+    used_old = jnp.zeros((m.M,), bool).at[
+        jnp.where(ok, oldc, m.M)
+    ].set(True, mode="drop")
+    ok &= ~used_new[oldc] & ~used_old[newc]
+
+    # Observation transfer: each live obs (kf, kp) of old moves to new
+    # unless new is already observed in that keyframe.
+    okf = m.mp_obs_kf[oldc]  # (R,O)
+    okp = m.mp_obs_kp[oldc]
+    live = (okf >= 0) & ok[:, None]
+    in_new = jnp.any(
+        okf[:, :, None] == m.mp_obs_kf[newc][:, None, :], axis=-1
+    )  # (R,O)
+    transfer = live & ~in_new
+    m, okw = add_observations_multi(
+        m,
+        jnp.where(transfer, newc[:, None], -1).reshape(-1),
+        okf.reshape(-1),
+        okp.reshape(-1),
+        transfer.reshape(-1),
+    )
+    okw = okw.reshape(R, m.O)
+    # Rebind the keyframe slots: new where the transfer landed an obs
+    # slot, erased otherwise (new already there, or new at obs capacity
+    # — the dying old cannot keep the binding either way).
+    tgt = jnp.where(transfer & okw, newc[:, None], -1)
+    kf_w = jnp.where(live, okf, m.K)  # out-of-range rows drop
+    kf_mp = m.kf_mp.at[
+        kf_w.reshape(-1), jnp.clip(okp, 0, m.N - 1).reshape(-1)
+    ].set(tgt.reshape(-1), mode="drop")
+
+    # Fold counters, invalidate old, clear its obs rows.
+    new_w = jnp.where(ok, newc, m.M)
+    mp_found = m.mp_found.at[new_w].add(
+        jnp.where(ok, m.mp_found[oldc], 0), mode="drop"
+    )
+    mp_visible = m.mp_visible.at[new_w].add(
+        jnp.where(ok, m.mp_visible[oldc], 0), mode="drop"
+    )
+    old_w = jnp.where(ok, oldc, m.M)
+    m = m._replace(
+        kf_mp=kf_mp,
+        mp_found=mp_found,
+        mp_visible=mp_visible,
+        mp_valid=m.mp_valid.at[old_w].set(False, mode="drop"),
+        mp_obs_kf=m.mp_obs_kf.at[old_w, :].set(-1, mode="drop"),
+        mp_obs_kp=m.mp_obs_kp.at[old_w, :].set(-1, mode="drop"),
+    )
+    # Survivors' descriptor/normal/band see the absorbed observations
+    # (computeDistinctiveDescriptors + updateNormalAndDepth in the
+    # reference's beReplacedBy).
+    return refresh_points(
+        m, jnp.where(ok, new_ids, -1), scale_factor, n_levels
+    )
+
+
+def recompute_covis_all(m: MapState) -> MapState:
+    """Rebuild the WHOLE covisibility matrix from the observation lists.
+
+    The loop-closure fuse stage rewires observations across arbitrary
+    keyframes (replace_points), so the incremental one-row
+    ``update_covisibility`` no longer covers the change set — the
+    reference walks updateConnections() over every corrected-group
+    keyframe (loopClosing.cpp:311-317); observer sets of NON-group
+    keyframes change too (loop-side points absorb current-side obs).
+
+    weight(i, j) = #shared points = (A^T A)[i, j] with A the (M, K)
+    point-observer incidence — one MXU matmul per M-block instead of
+    K gather-heavy row updates.  Spanning tree and parents untouched.
+    """
+    K, M, O = m.K, m.M, m.O
+    B = min(M, 4096)
+    nb = -(-M // B)
+    pad = nb * B - M
+    obs = jnp.pad(m.mp_obs_kf, ((0, pad), (0, 0)), constant_values=-1)
+    val = jnp.pad(m.mp_valid, (0, pad))
+    obs = obs.reshape(nb, B, O)
+    val = val.reshape(nb, B)
+
+    def step(acc, inp):
+        o, v = inp
+        onehot = jnp.any(
+            (o[..., None] == jnp.arange(K, dtype=jnp.int32)) & (o[..., None] >= 0),
+            axis=1,
+        )  # (B,K)
+        a = (onehot & v[:, None]).astype(jnp.float32)
+        return acc + a.T @ a, None
+
+    covis, _ = jax.lax.scan(step, jnp.zeros((K, K), jnp.float32), (obs, val))
+    covis = covis.astype(jnp.int32)
+    covis = covis * (1 - jnp.eye(K, dtype=jnp.int32))
+    covis = jnp.where(
+        m.kf_valid[:, None] & m.kf_valid[None, :], covis, 0
+    )
+    return m._replace(covis=covis)
+
+
 # ----------------------------------------------------------------------
 # Covisibility + spanning tree
 # ----------------------------------------------------------------------

@@ -34,6 +34,10 @@ class RunStats:
     loop_events: list = dataclasses.field(default_factory=list)
     # Verification-gate failures by stage (bow / ransac / sim3 / guided).
     loop_verify_fails: dict = dataclasses.field(default_factory=dict)
+    # Cross-loop essential-graph edges (loopConnections,
+    # loopClosing.cpp:311-325) per accepted loop: how many NEW
+    # covisibility anchors the fusion created across the loop.
+    loop_conn_edges: list = dataclasses.field(default_factory=list)
 
     def as_dict(self) -> dict:
         d = dataclasses.asdict(self)
@@ -68,8 +72,10 @@ def format_stats(d: dict) -> str:
         f" global BA {d['global_ba_runs']}",
         f"resets        {d['resets']}",
     ]
-    for q, m, t in d.get("loop_events", []):
-        lines.append(f"  loop: frame {q} -> frame {m}  |t| = {t:.3f} m")
+    conn = d.get("loop_conn_edges", [])
+    for i, (q, m, t) in enumerate(d.get("loop_events", [])):
+        edges = f", {conn[i]} cross-loop edges" if i < len(conn) else ""
+        lines.append(f"  loop: frame {q} -> frame {m}  |t| = {t:.3f} m{edges}")
     if d.get("loop_verify_fails"):
         lines.append(f"  loop verify fails: {d['loop_verify_fails']}")
     return "\n".join(lines)

@@ -393,6 +393,7 @@ class SlamSystem:
                 C, cfg.loop.covisibility_consistency_th,
                 n_banks=cfg.loop.retrieval_banks,
                 bank_bits=cfg.loop.retrieval_bank_bits,
+                min_frame_gap=cfg.loop.min_frame_gap,
             )
             # Sim3 verification fires on the FIRST surviving candidate
             # set — mid-sequence, where its compile is a multi-second
@@ -412,6 +413,20 @@ class SlamSystem:
                 scale_factor=cfg.orb.scale_factor,
                 n_levels=cfg.orb.n_levels,
                 guided_cap=cfg.capacity.tracking_points,
+            )
+            # The correction program (group Sim3 + bind + whole-group
+            # fuse + covis rebuild) fires exactly at the closure frame
+            # — compiling it there would put a multi-second stall on
+            # the one frame whose latency the loop design protects.
+            from .loop_impl import _correct_on_device
+
+            _correct_on_device(
+                self.map, 0, 0, jnp.eye(4),
+                -jnp.ones((self.map.N,), jnp.int32), self.cam,
+                scale_factor=cfg.orb.scale_factor,
+                n_levels=cfg.orb.n_levels,
+                fuse_pts_cap=cfg.capacity.loop_fuse_points,
+                fuse_group_cap=cfg.capacity.loop_fuse_group,
             )
         jax.block_until_ready(m)
 
