@@ -58,6 +58,33 @@ def make_frames(n_frames=120):
     return frames
 
 
+def make_revisit_frames(n_circuit=100, tail=40):
+    """Loop-closure workload: a drifted orbit that REVISITS its start
+    inside the timed window (r4 finding: the xyz oscillation never
+    revisits, so the loop-on number measured detection overhead only —
+    correction + essential graph + overlapped global BA never ran).
+    Depth carries a growing additive bias, so RGB-D seeding accumulates
+    genuine drift over the circuit and the revisit closes organically
+    at default-style gates (same recipe as the in-repo accuracy proof,
+    tests/test_loop_organic.py)."""
+    sys.path.insert(0, "tests")
+    from synthetic import OrbitDriftSequence
+
+    seq = OrbitDriftSequence(
+        np.random.default_rng(7), n_frames=n_circuit, n_landmarks=1500,
+        drift_rate=0.008,
+    )
+    frames = []
+    for i in range(n_circuit + tail):
+        t, g, d = seq.frame(i)
+        frames.append((
+            t,
+            g.astype(np.uint8),
+            (d * DEPTH_FACTOR).astype(np.uint16),
+        ))
+    return frames
+
+
 def make_system(enable_loop_closing):
     from ydorbslam_tpu.config import (
         CameraConfig, DepthConfig, OrbConfig, SlamConfig, TrackingConfig,
@@ -119,6 +146,21 @@ def run(system, frames, n_warm=20):
         flush_ms=round(drain * 1000, 1),
         stalls=stalls,
     )
+    if system.loop_closer is not None:
+        n_loops = system.loop_closer.n_loops_closed
+        stats["loops_closed"] = n_loops
+        # Closure-frame stall: the worst dispatch time in the drain
+        # window around each closure's query keyframe (correction +
+        # essential graph run there; global BA is chunked across the
+        # following drains — r4 weak #2 asked for exactly this number).
+        lag = getattr(system, "_effective_lag", 16) or 16
+        stall_ms = 0.0
+        for q, _m, _t in system.stats.loop_events:
+            lo = max(0, q - n_warm - lag)
+            hi = min(len(ms), q - n_warm + lag + 1)
+            if hi > lo:
+                stall_ms = max(stall_ms, max(ms[lo:hi]))
+        stats["closure_stall_ms"] = round(stall_ms, 1)
     return fps, stats
 
 
@@ -250,6 +292,7 @@ def main():
         return
     n_passes = int(os.environ.get("BENCH_PASSES", "3"))
     only_primary = bool(os.environ.get("BENCH_ONLY_PRIMARY"))
+    revisit = None if only_primary else make_revisit_frames()
     # Passes of the two configs run INTERLEAVED (off, on, off, on, ...):
     # the tunnel RTT drifts monotonically within an invocation (measured
     # 57 -> 39 fps across three passes of identical code), so running
@@ -260,7 +303,16 @@ def main():
         _, stats = run(make_system(enable_loop_closing=False), frames)
         passes_off.append(stats)
         if not only_primary:
-            _, stats = run(make_system(enable_loop_closing=True), frames)
+            # Loop-on passes run the REVISIT workload: a real closure
+            # (correction + essential graph + overlapped global BA)
+            # must execute inside the measured window (r4 weak #2: the
+            # xyz oscillation never revisits, so the loop-on number
+            # measured detection overhead only).
+            _, stats = run(make_system(enable_loop_closing=True), revisit)
+            assert stats.get("loops_closed", 0) >= 1, (
+                "loop-on bench pass closed no loop — the revisit "
+                f"workload regressed: {stats}"
+            )
             passes_on.append(stats)
 
     def emit(passes, detail, metric):
@@ -281,11 +333,13 @@ def main():
     emit(passes_off, "loop_off_passes", "rgbd_tracking_fps")
     if only_primary:
         return
-    # HEADLINE (last line, the one the driver parses): everything on.
-    # Loop detection dispatches per keyframe and any accepted loop's
-    # correction + interleaved global BA run inside the measured window;
+    # HEADLINE (last line, the one the driver parses): everything on,
+    # on the REVISIT workload — every pass contains >= 1 real closure,
+    # so detection, verification, correction, essential graph AND the
+    # tracking-overlapped global BA all run inside the measured window;
     # the reference excludes all of that from its timing contract, so
-    # this is the stricter number.
+    # this is the strictly harder number (and a keyframe-heavier
+    # trajectory than the xyz oscillation on top).
     emit(passes_on, "loop_on_passes", "rgbd_tracking_fps_loop_closing_on")
 
 

@@ -8,6 +8,7 @@ square "dots" into ideal pinhole cameras along a known trajectory.
 from __future__ import annotations
 
 import numpy as np
+from scipy.spatial.transform import Rotation
 
 
 def make_landmarks(rng, n=400, x=6.0, y=4.0, z=(2.0, 8.0)):
@@ -145,4 +146,64 @@ class SyntheticRgbdSequence:
             u, v = int(round(uv[j, 0])), int(round(uv[j, 1]))
             if 10 <= u < self.width - 10 and 10 <= v < self.height - 10 and z[j] > 0.1:
                 depth[v - r : v + r + 2, u - r : u + r + 2] = z[j]
+        return i / 30.0, img, depth
+
+
+class OrbitDriftSequence:
+    """Camera orbits inside the landmark cylinder facing outward; the
+    DEPTH channel carries an additive bias that grows by ``drift_rate``
+    m/frame, so RGB-D point seeding accumulates genuine translation
+    drift over the circuit — the classic condition loop closure exists
+    to repair (loopClosing.cpp:229-337).  The image stream is exact.
+    (A multiplicative SCALE drift is deliberately NOT used: the Sim3
+    solver fixes scale for stereo/RGB-D exactly like the reference,
+    loopClosing.cpp:132, so a scale error is unverifiable by design.)"""
+
+    def __init__(self, rng, n_frames=40, n_landmarks=900, radius=6.0,
+                 orbit=2.5, drift_rate=0.008):
+        self.n_frames = n_frames
+        self.drift_rate = drift_rate
+        self.orbit = orbit
+        theta = rng.uniform(0, 2 * np.pi, n_landmarks)
+        y = rng.uniform(-2.5, 2.5, n_landmarks)
+        r = radius + rng.uniform(-1.0, 1.0, n_landmarks)
+        self.landmarks = np.stack(
+            [r * np.sin(theta), y, r * np.cos(theta)], -1
+        )
+
+    def pose(self, i):
+        """T_cw: camera on the orbit circle, facing radially outward."""
+        phi = 2 * np.pi * (i % self.n_frames) / self.n_frames
+        R_wc = Rotation.from_euler("y", phi).as_matrix()
+        c = self.orbit * np.array([np.sin(phi), 0.0, np.cos(phi)])
+        T = np.eye(4)
+        T[:3, :3] = R_wc.T
+        T[:3, 3] = -R_wc.T @ c
+        return T
+
+    def gt_center_est_frame(self, i):
+        """GT camera center expressed in the estimator's world frame
+        (= the first camera's frame)."""
+        phi = 2 * np.pi * (i % self.n_frames) / self.n_frames
+        c_w = self.orbit * np.array([np.sin(phi), 0.0, np.cos(phi)])
+        T0 = self.pose(0)
+        return T0[:3, :3] @ c_w + T0[:3, 3]
+
+    def frame(self, i):
+        T = self.pose(i)
+        pc = self.landmarks @ T[:3, :3].T + T[:3, 3]
+        z = pc[:, 2]
+        uv = np.stack(
+            [500 * pc[:, 0] / np.where(z > 0.1, z, 1) + 320,
+             500 * pc[:, 1] / np.where(z > 0.1, z, 1) + 240], -1,
+        )
+        uv[z <= 0.1] = -100
+        img = render_dots(uv, z, 640, 480, dot=7)
+        depth = np.zeros((480, 640), np.float32)
+        order = np.argsort(-z)
+        bias = self.drift_rate * i  # keeps growing, never wraps
+        for j in order:
+            u, v = int(round(uv[j, 0])), int(round(uv[j, 1]))
+            if 10 <= u < 630 and 10 <= v < 470 and z[j] > 0.1:
+                depth[v - 1 : v + 3, u - 1 : u + 3] = z[j] + bias
         return i / 30.0, img, depth

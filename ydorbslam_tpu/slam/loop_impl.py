@@ -64,8 +64,10 @@ def _verify_pack(
     """Fused geometric verification (loopClosing.cpp:115-228): dense
     appearance match -> Horn RANSAC -> Sim3 refinement -> guided
     projection, ONE program.  Returns (pack, matched_mp): ``pack`` is
-    the (20,) gate vector [n_matches, ransac_ok, n_sim3_inliers,
-    n_guided_total, S_ref(16)] — the ONLY host fetch of verification —
+    the (22,) gate vector [n_matches, ransac_ok, n_sim3_inliers,
+    n_guided_total, n_has1, n_has2, S_ref(16)] — the ONLY host fetch of
+    verification (has1/has2 = keypoints with live map points on each
+    side, the bow-gate's input budget; recorded for gate diagnostics) —
     and ``matched_mp`` (N,) is the guided loop-point assignment per kf1
     keypoint (the reference's m_v_matchedMapPoints,
     loopClosing.cpp:196-227), which stays on device and feeds the
@@ -148,6 +150,8 @@ def _verify_pack(
             res.ok.astype(jnp.float32),
             n_in.astype(jnp.float32),
             total.astype(jnp.float32),
+            jnp.sum(has1).astype(jnp.float32),
+            jnp.sum(has2).astype(jnp.float32),
         ]),
         S_ref.reshape(16),
     ])
@@ -689,6 +693,12 @@ class LoopCloserImpl:
         fails = sys.stats.loop_verify_fails
         if n_matches < cfg.loop.min_bow_matches:
             fails["bow"] = fails.get("bow", 0) + 1
+            # Gate diagnostics: a bow fail with a healthy keypoint
+            # budget on both sides is a matcher problem; a starved side
+            # is a binding/culling problem (r4 weak #4 diagnosis).
+            fails.setdefault("bow_diag", []).append(
+                (kf1, kf2, n_matches, int(pack[4]), int(pack[5]))
+            )
             return None
         if not ransac_ok:
             fails["ransac"] = fails.get("ransac", 0) + 1
@@ -699,7 +709,7 @@ class LoopCloserImpl:
         if total < cfg.loop.min_total_matches:
             fails["guided"] = fails.get("guided", 0) + 1
             return None
-        S_ref = jnp.asarray(pack[4:20].reshape(4, 4))
+        S_ref = jnp.asarray(pack[6:22].reshape(4, 4))
         return S_ref, total, matched_mp
 
     # ------------------------------------------------------------------

@@ -555,44 +555,35 @@ def fuse_into_kf_body(
     bound, cand_mp, _ = _fuse_candidate_fields(
         m, src_kf, dst_kf, active, cam, scale_factor, n_levels
     )
-    from .map_state import obs_has_free
+    from .map_state import obs_has_free, replace_points
 
-    bound &= obs_has_free(m, cand_mp)
     existing = m.kf_mp[dst_kf]
     empty_slot = existing < 0
     # Case A: empty slot -> bind + add observation.
-    bind = bound & empty_slot
+    bind = bound & empty_slot & obs_has_free(m, cand_mp)
     new_row = jnp.where(bind, cand_mp, existing)
-    # Case B: occupied -> keep the point with more observations
-    # (mapPoint.cpp:128-156 merge direction), loser keeps its other obs.
+    m = m._replace(kf_mp=m.kf_mp.at[dst_kf].set(new_row))
+    m = add_observations(
+        m, jnp.where(bind, cand_mp, -1), dst_kf, jnp.arange(m.N), bind
+    )
+    # Case B: occupied -> the two points are DUPLICATES of one landmark;
+    # MERGE them (orbMatcher.cpp:729-737): the one with fewer
+    # observations dies into the other, which absorbs its whole
+    # observation list.  (Rounds 1-4 only rebound the keypoint, leaving
+    # the loser alive with its other observations — duplicates then
+    # never merged, observation counts plateaued at ~insertion-chain
+    # length, the age-2 obs<=3 cull wiped every young point, and old
+    # keyframes bled to zero bindings.  The merge is what makes
+    # observation counts grow and covisibility real.)
     n_obs = jnp.sum(m.mp_obs_kf >= 0, axis=-1)
     cand_obs = n_obs[jnp.clip(cand_mp, 0, m.M - 1)]
     exist_obs = n_obs[jnp.clip(existing, 0, m.M - 1)]
-    replace = bound & ~empty_slot & (cand_obs > exist_obs) & (cand_mp != existing)
-    new_row = jnp.where(replace, cand_mp, new_row)
-    # The replaced (loser) point's observation of dst_kf no longer has a
-    # binding — erase it so obs lists stay the mirror of kf_mp (the
-    # reference transfers the loser's observations wholesale,
-    # mapPoint.cpp:128-156; we erase the one that lost its slot).
-    loserc = jnp.clip(existing, 0, m.M - 1)
-    lrows = m.mp_obs_kf[loserc]  # (N,O)
-    lhit = replace[:, None] & (lrows == dst_kf)
-    row_w = jnp.where(replace, loserc, m.M)
-    m = m._replace(
-        mp_obs_kf=m.mp_obs_kf.at[row_w].set(
-            jnp.where(lhit, -1, lrows), mode="drop"
-        ),
-        mp_obs_kp=m.mp_obs_kp.at[row_w].set(
-            jnp.where(lhit, -1, m.mp_obs_kp[loserc]), mode="drop"
-        ),
+    merge = bound & ~empty_slot & (cand_mp != existing)
+    old = jnp.where(exist_obs > cand_obs, cand_mp, existing)
+    new = jnp.where(exist_obs > cand_obs, existing, cand_mp)
+    return replace_points(
+        m, jnp.where(merge, old, -1), new, merge, scale_factor, n_levels
     )
-    m = m._replace(kf_mp=m.kf_mp.at[dst_kf].set(new_row))
-    m = add_observations(
-        m, jnp.where(bind | replace, cand_mp, -1), dst_kf, jnp.arange(m.N),
-        bind | replace,
-    )
-    # refresh deferred to the caller (one batched refresh per keyframe).
-    return m
 
 
 def fuse_neighbors_batch(
@@ -615,7 +606,8 @@ def fuse_neighbors_batch(
     (localMapping.cpp:253-294) — candidate order differs from the
     reference's sequential loop but the accept gates are identical.
     """
-    from .map_state import add_observations, add_observations_multi
+    from .map_state import (add_observations, add_observations_multi,
+                            replace_points)
 
     B = nids.shape[0]
     kf2c = jnp.clip(nids, 0, m.K - 1)
@@ -645,36 +637,30 @@ def fuse_neighbors_batch(
     existing = m.kf_mp[kf2c]  # (B,N)
     empty_slot = existing < 0
     bind = bound & empty_slot
-    cand_obs = n_obs_tab[jnp.clip(cand, 0, m.M - 1)]
-    exist_obs = n_obs_tab[jnp.clip(existing, 0, m.M - 1)]
-    replace = bound & ~empty_slot & (cand_obs > exist_obs) & (cand != existing)
     # Obs rows first: only entries that secured an obs slot may bind
     # (binding<->obs invariant; a point can gain several obs here).
-    flat_pt = jnp.where(bind | replace, cand, -1).reshape(-1)
+    flat_pt = jnp.where(bind, cand, -1).reshape(-1)
     flat_kf = jnp.broadcast_to(kf2c[:, None], (B, m.N)).reshape(-1)
     flat_kp = jnp.broadcast_to(jnp.arange(m.N)[None, :], (B, m.N)).reshape(-1)
     m, okw = add_observations_multi(m, flat_pt, flat_kf, flat_kp, flat_pt >= 0)
     okw = okw.reshape(B, m.N)
     bind &= okw
-    replace &= okw
-    new_rows = jnp.where(bind | replace, cand, existing)
-    # Erase the replaced losers' observation of their dst keyframe:
-    # exact (row, slot) scatter — same point may lose in several dst
-    # keyframes, each hit lives in a different obs slot.
-    loserc = jnp.clip(existing, 0, m.M - 1)
-    lrows = m.mp_obs_kf[loserc]  # (B,N,O)
-    is_dst = lrows == kf2c[:, None, None]
-    sl = jnp.argmax(is_dst, axis=-1)  # (B,N)
-    has = jnp.any(is_dst, axis=-1) & replace
-    row_w = jnp.where(has, loserc, m.M)
+    new_rows = jnp.where(bind, cand, existing)
     m = m._replace(
-        mp_obs_kf=m.mp_obs_kf.at[row_w.reshape(-1), sl.reshape(-1)].set(
-            -1, mode="drop"
-        ),
-        mp_obs_kp=m.mp_obs_kp.at[row_w.reshape(-1), sl.reshape(-1)].set(
-            -1, mode="drop"
-        ),
         kf_mp=m.kf_mp.at[jnp.where(nok, kf2c, m.K)].set(new_rows, mode="drop"),
+    )
+    # Occupied slots: candidate and existing are DUPLICATES of one
+    # landmark — MERGE (orbMatcher.cpp:729-737), fewer-obs point dies
+    # into the other, which absorbs its observations.  See
+    # fuse_into_kf_body for why rebind-without-merge starved the map.
+    cand_obs = n_obs_tab[jnp.clip(cand, 0, m.M - 1)]
+    exist_obs = n_obs_tab[jnp.clip(existing, 0, m.M - 1)]
+    merge = bound & ~empty_slot & (cand != existing)
+    old = jnp.where(exist_obs > cand_obs, cand, existing)
+    new = jnp.where(exist_obs > cand_obs, existing, cand)
+    m = replace_points(
+        m, jnp.where(merge, old, -1).reshape(-1), new.reshape(-1),
+        merge.reshape(-1), scale_factor, n_levels,
     )
     # ---------------- IN: each neighbor -> kf1 ----------------
     # Fresh obs counts: the OUT pass just added/erased observations, and
@@ -714,29 +700,25 @@ def fuse_neighbors_batch(
     j_bound &= first_j[jnp.clip(j_cand, 0, m.M - 1)] == j_idx
     from .map_state import obs_has_free as _ohf
 
-    j_bound &= _ohf(m, j_cand)
     existing1 = m.kf_mp[kf1]
     empty1 = existing1 < 0
-    bind1 = j_bound & empty1
-    c_obs = n_obs_tab[jnp.clip(j_cand, 0, m.M - 1)]
-    e_obs = n_obs_tab[jnp.clip(existing1, 0, m.M - 1)]
-    repl1 = j_bound & ~empty1 & (c_obs > e_obs) & (j_cand != existing1)
-    new_row1 = jnp.where(bind1 | repl1, j_cand, existing1)
-    loser1 = jnp.clip(existing1, 0, m.M - 1)
-    l1rows = m.mp_obs_kf[loser1]  # (N,O)
-    is1 = l1rows == jnp.int32(0) + kf1
-    sl1 = jnp.argmax(is1, axis=-1)
-    has1 = jnp.any(is1, axis=-1) & repl1
-    row1_w = jnp.where(has1, loser1, m.M)
-    m = m._replace(
-        mp_obs_kf=m.mp_obs_kf.at[row1_w, sl1].set(-1, mode="drop"),
-        mp_obs_kp=m.mp_obs_kp.at[row1_w, sl1].set(-1, mode="drop"),
-        kf_mp=m.kf_mp.at[kf1].set(new_row1),
-    )
+    bind1 = j_bound & empty1 & _ohf(m, j_cand)
+    new_row1 = jnp.where(bind1, j_cand, existing1)
+    m = m._replace(kf_mp=m.kf_mp.at[kf1].set(new_row1))
     m = add_observations(
-        m, jnp.where(bind1 | repl1, j_cand, -1), kf1, j_idx, bind1 | repl1
+        m, jnp.where(bind1, j_cand, -1), kf1, j_idx, bind1
     )
-    return m
+    # Occupied slots merge, same as the OUT pass.  n_obs is re-read:
+    # the OUT pass's merges changed counts.
+    n_obs2 = jnp.sum(m.mp_obs_kf >= 0, axis=-1)
+    c_obs = n_obs2[jnp.clip(j_cand, 0, m.M - 1)]
+    e_obs = n_obs2[jnp.clip(existing1, 0, m.M - 1)]
+    merge1 = j_bound & ~empty1 & (j_cand != existing1)
+    old1 = jnp.where(e_obs > c_obs, j_cand, existing1)
+    new1 = jnp.where(e_obs > c_obs, existing1, j_cand)
+    return replace_points(
+        m, jnp.where(merge1, old1, -1), new1, merge1, scale_factor, n_levels
+    )
 
 
 @functools.partial(
