@@ -190,8 +190,10 @@ def fast_score_nms_pallas(image: jax.Array, border: int = 16) -> jax.Array:
 
 # a_attr lanes: [u, v, ur_pred, rad_narrow, rad_wide, oct_lo, oct_hi, valid]
 A_U, A_V, A_UR, A_RN, A_RW, A_OLO, A_OHI, A_VALID = range(8)
-# b_attr lanes: [u, v, right_u, octave, valid, 0, 0, 0]
-B_U, B_V, B_UR, B_OCT, B_VALID = range(5)
+# b_attr lanes: [u, v, right_u, octave, valid, inv_sf2, 0, 0]
+# (lane 5 = 1/scale_factor^(2*octave) — the fuse chi2 weight; zero for
+# callers that do not use the pair-"proj" chi2 gate)
+B_U, B_V, B_UR, B_OCT, B_VALID, B_ISF2 = range(6)
 # epipolar-mode a_attr lanes: [line_a, line_b, line_c, thr(=3.84*den2),
 # octave, valid, 0, 0]; b_attr reuses [u, v, sigma2, octave, valid].
 E_LA, E_LB, E_LC, E_THR, E_OCT, E_VALID = range(6)
@@ -382,18 +384,38 @@ def _pair_best2_kernel(
     if mode == "proj":
         au = at[:, A_U][:, None]
         av = at[:, A_V][:, None]
+        aur = at[:, A_UR][:, None]
         rad = at[:, A_RN][:, None]
         alo = at[:, A_OLO][:, None]
         ahi = at[:, A_OHI][:, None]
         aval = at[:, A_VALID][:, None] > 0.5
         bu = bt[B_U, :][None, :]
         bv = bt[B_V, :][None, :]
+        bur = bt[B_UR, :][None, :]
         boct = bt[B_OCT, :][None, :]
         bval = bt[B_VALID, :][None, :] > 0.5
+        bisf2 = bt[B_ISF2, :][None, :]
+        # Reference fuse chi2 (orbMatcher.cpp:714-721): stereo keypoints
+        # face (du^2+dv^2+dur^2)*inv_sf2 <= 7.81, mono (du^2+dv^2)
+        # *inv_sf2 <= 5.99 — the gate that stops depth-inconsistent
+        # candidates from merging distinct landmarks.
+        du = bu - au
+        dv = bv - av
+        dur = bur - aur
+        mono2 = du * du + dv * dv
+        # Logical form, not a bool select — Mosaic cannot lower
+        # where() between i1 vectors (trunci i8->i1).
+        is_stereo = bur >= 0.0
+        chi2_ok = (
+            is_stereo & ((mono2 + dur * dur) * bisf2 <= 7.81)
+        ) | (
+            (~is_stereo) & (mono2 * bisf2 <= 5.99)
+        )
         gate = (
             aval & bval
             & (boct >= alo) & (boct <= ahi)
-            & (jnp.abs(bu - au) <= rad) & (jnp.abs(bv - av) <= rad)
+            & (jnp.abs(du) <= rad) & (jnp.abs(dv) <= rad)
+            & chi2_ok
         )
     else:  # "epi"
         la = at[:, E_LA][:, None]

@@ -58,6 +58,13 @@ class MapState(NamedTuple):
     # copy of kf_octave[obs_kf, obs_kp], maintained at add time so the
     # keyframe-culling scale test never needs a K*N-sized gather; stale
     # values behind obs_kf == -1 slots are never read)
+    mp_obs_stereo: jax.Array  # (M,O) bool: observation has a stereo
+    # right-x measurement (denormalized kf_right_u[obs_kf, obs_kp] >= 0,
+    # maintained at add time).  The reference counts a stereo/RGB-D
+    # observation as TWO in observationsNum (mapPoint.cpp:96-99) — the
+    # weighted count is what the recent-point cull and trackedMapPoints
+    # gates compare against; an RGB-D seed (one stereo obs = 2) survives
+    # the age-2 obs<=3 cull after a single follow-up keyframe.
     # --- graph (K, ...) ---
     covis: jax.Array  # (K,K) i32 shared-point weights
     parent: jax.Array  # (K,) i32 spanning-tree parent (-1 root)
@@ -110,6 +117,7 @@ def empty_map(K: int, N: int, M: int, O: int) -> MapState:
         mp_obs_kf=-jnp.ones((M, O), jnp.int32),
         mp_obs_kp=-jnp.ones((M, O), jnp.int32),
         mp_obs_oct=jnp.zeros((M, O), jnp.int32),
+        mp_obs_stereo=jnp.zeros((M, O), bool),
         covis=jnp.zeros((K, K), jnp.int32),
         parent=-jnp.ones((K,), jnp.int32),
         loop_edge=-jnp.ones((K,), jnp.int32),
@@ -188,7 +196,14 @@ def add_observations(
         jnp.where(ok, oct_new.astype(jnp.int32), m.mp_obs_oct[mp_w, first_free]),
         mode="drop",
     )
-    return m._replace(mp_obs_kf=obs_kf, mp_obs_kp=obs_kp, mp_obs_oct=obs_oct)
+    st_new = m.kf_right_u[kf_id][jnp.clip(kp_idx, 0, m.N - 1)] >= 0
+    obs_st = m.mp_obs_stereo.at[mp_w, first_free].set(
+        jnp.where(ok, st_new, m.mp_obs_stereo[mp_w, first_free]), mode="drop"
+    )
+    return m._replace(
+        mp_obs_kf=obs_kf, mp_obs_kp=obs_kp, mp_obs_oct=obs_oct,
+        mp_obs_stereo=obs_st,
+    )
 
 
 def add_observations_multi(
@@ -240,8 +255,15 @@ def add_observations_multi(
     obs_oct = m.mp_obs_oct.at[mp_w, slot].set(
         oct_new.astype(jnp.int32), mode="drop"
     )
+    st_new = m.kf_right_u[
+        jnp.clip(kf_ids, 0, m.K - 1), jnp.clip(kp_idx, 0, m.N - 1)
+    ] >= 0
+    obs_st = m.mp_obs_stereo.at[mp_w, slot].set(st_new, mode="drop")
     return (
-        m._replace(mp_obs_kf=obs_kf, mp_obs_kp=obs_kp, mp_obs_oct=obs_oct),
+        m._replace(
+            mp_obs_kf=obs_kf, mp_obs_kp=obs_kp, mp_obs_oct=obs_oct,
+            mp_obs_stereo=obs_st,
+        ),
         okw,
     )
 
@@ -274,6 +296,17 @@ def erase_observations(m: MapState, mp_ids: jax.Array, kf_ids: jax.Array) -> Map
 def recount_obs(m: MapState) -> jax.Array:
     """(M,) number of live observations per point."""
     return jnp.sum(m.mp_obs_kf >= 0, axis=-1)
+
+
+def recount_obs_weighted(m: MapState) -> jax.Array:
+    """(M,) reference observationsNum: stereo/RGB-D observations count
+    DOUBLE (mapPoint.cpp:96-99).  This is the number the recent-point
+    cull (localMapping.cpp:102) and trackedMapPointsNum gates
+    (keyFrame.cpp:221) compare against."""
+    live = m.mp_obs_kf >= 0
+    return jnp.sum(
+        jnp.where(live, 1 + m.mp_obs_stereo.astype(jnp.int32), 0), axis=-1
+    )
 
 
 # ----------------------------------------------------------------------

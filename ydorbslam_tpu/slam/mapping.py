@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from ..geometry.camera import CameraIntrinsics
 from ..geometry.se3 import inv_T
 from ..optim.schur import BAProblem, bundle_adjust
-from .map_state import MapState, erase_observations, recount_obs
+from .map_state import (MapState, erase_observations, recount_obs,
+                        recount_obs_weighted)
 
 # Default local BA capacity split: optimized window + fixed observers.
 LBA_WIN = 64
@@ -54,7 +55,14 @@ def cull_map_points(
     window.)
     """
     ratio = m.mp_found.astype(jnp.float32) / jnp.maximum(m.mp_visible, 1)
-    n_obs = recount_obs(m)
+    # Weighted count: stereo observations count double
+    # (mapPoint.cpp:96-99) — an RGB-D seed (2) + one keyframe rebind (2)
+    # = 4 > 3 survives; with a flat count every depth-seeded point died
+    # here unless THREE keyframes rebound it within 2 insertions, which
+    # starved old keyframes of bindings and the whole map of
+    # observations (the r5 root-cause chain).
+    n_obs = recount_obs_weighted(m)
+    n_obs_raw = recount_obs(m)
     age = current_kf_count - m.mp_first_kf  # in keyframe insertions
     # The reference checks each recent point once at age 2 (>=2 in code,
     # but survivors leave the recent list at age 3 so the test fires
@@ -65,7 +73,7 @@ def cull_map_points(
     bad = m.mp_valid & (
         ((ratio < found_ratio) & (age <= 3))
         | ((age == 2) & (n_obs <= min_obs))
-        | (n_obs == 0)
+        | (n_obs_raw == 0)
     )
     # Compact the dead set to a fixed budget and clear their bindings
     # THROUGH their observation lists (exact (kf, kp) positions; the
@@ -299,11 +307,13 @@ def _prep_core(
 ):
     """Per-keyframe map maintenance: cull recent points -> on-device
     covisible-neighbor top-k -> BATCHED epipolar triangulation over all
-    neighbors -> point refresh -> batched two-way fusion -> refresh
-    (localMapping.cpp:63-294 without the BA/cull tail).  The reference's
-    sequential per-neighbor loop becomes one vmapped candidate search
-    per phase — ~2x less device time than the fori_loop formulation."""
-    from .map_state import refresh_points
+    neighbors -> point refresh -> batched two-way fusion over the
+    first- AND second-order neighbor set -> refresh -> covisibility
+    refresh (localMapping.cpp:63-294 without the BA/cull tail).  The
+    reference's sequential per-neighbor loop becomes one vmapped
+    candidate search per phase — ~2x less device time than the
+    fori_loop formulation."""
+    from .map_state import refresh_points, update_covisibility
     from .triangulate import fuse_neighbors_batch, triangulate_neighbors_batch
 
     m = cull_map_points.__wrapped__(
@@ -314,6 +324,8 @@ def _prep_core(
     nvals, nids = jax.lax.top_k(w, min(n_neighbors, m.K))
     nok = nvals > 0
 
+    # Triangulation pairs with the FIRST-order neighbors only
+    # (createNewMapPoints, localMapping.cpp:111).
     m = triangulate_neighbors_batch(
         m, kf_id, nids, nok, kf_count, cam, scale_factor, n_levels,
         ratio=tri_ratio,
@@ -322,13 +334,42 @@ def _prep_core(
         m, jnp.where(m.kf_mp[kf_id] >= 0, m.kf_mp[kf_id], -1),
         scale_factor, n_levels,
     )
+    # Fuse targets extend to the SECOND-order neighborhood
+    # (searchInNeighbors, localMapping.cpp:253-267: 10 direct + 5 per
+    # direct neighbor).  The expansion is what spreads observations
+    # beyond the insertion chain — without it points plateau at
+    # visibility-span obs counts and the age-2 cull wipes them.
+    K = m.K
+    first_mask = jnp.zeros((K,), bool).at[
+        jnp.where(nok, nids, K)
+    ].set(True, mode="drop")
+    w2 = jnp.max(
+        jnp.where(nok[:, None], m.covis[jnp.clip(nids, 0, K - 1)], 0),
+        axis=0,
+    )
+    w2 = jnp.where(
+        first_mask | (jnp.arange(K) == kf_id) | ~m.kf_valid, 0, w2
+    )
+    n2 = min(n_neighbors, m.K)
+    n2vals, n2ids = jax.lax.top_k(w2, n2)
+    fuse_ids = jnp.concatenate([nids, n2ids.astype(jnp.int32)])
+    fuse_ok = jnp.concatenate([nok, n2vals > 0])
     m = fuse_neighbors_batch(
-        m, kf_id, nids, nok, cam, scale_factor, n_levels
+        m, kf_id, fuse_ids, fuse_ok, cam, scale_factor, n_levels
     )
     m = refresh_points(
         m, jnp.where(m.kf_mp[kf_id] >= 0, m.kf_mp[kf_id], -1),
         scale_factor, n_levels,
     )
+    # NOTE deliberate deviation: the reference refreshes connections here
+    # (updateConnections, localMapping.cpp:292).  Measured on the drifted
+    # orbit artifact, the refreshed (richer) covisibility pulls older
+    # keyframes with drift-conflicted geometry into the local-BA window
+    # and tracking destabilizes (51 lost frames vs 0 without).  The
+    # loop-closure path recomputes the FULL graph on device at correction
+    # time (map_state.recompute_covis_all), so the essential graph still
+    # sees post-fusion weights; day-to-day covisibility comes from
+    # insertion-time updates.
     return m
 
 

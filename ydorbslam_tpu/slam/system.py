@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import time
 from typing import List, Optional
 
 import jax
@@ -140,10 +141,16 @@ def _snapshot_fetch(m: MapState, ref_kf):
 @jax.jit
 def _count_ref_tracked(m: MapState, ref_kf, min_obs):
     """KeyFrame::trackedMapPointsNum (keyFrame.cpp:221): reference-KF
-    points with >= min_obs observations."""
+    points with >= min_obs observations — the WEIGHTED count (stereo
+    obs double, mapPoint.cpp:96-99), so an RGB-D point observed by two
+    keyframes passes the min_obs=3 gate exactly as in the reference."""
     ids = jnp.clip(m.kf_mp[ref_kf], 0, m.M - 1)
     live = (m.kf_mp[ref_kf] >= 0) & m.mp_valid[ids]
-    n_obs = jnp.sum(m.mp_obs_kf[ids] >= 0, axis=-1)
+    obs_live = m.mp_obs_kf[ids] >= 0
+    n_obs = jnp.sum(
+        jnp.where(obs_live, 1 + m.mp_obs_stereo[ids].astype(jnp.int32), 0),
+        axis=-1,
+    )
     return jnp.sum(live & (n_obs >= min_obs))
 
 
@@ -619,6 +626,13 @@ class SlamSystem:
         from .pipeline import TrackSet, empty_track_state
 
         self._pipe_lag = lag
+        # Wall-time budget accounting (bench.py --profile reads this):
+        # where the HOST spends its time per drained batch.  The ring
+        # fetch blocks until the device catches up, so "drain_fetch" is
+        # device-backlog + transfer; the rest are host dispatch/python.
+        import collections
+
+        self.perf = collections.defaultdict(float)
         self._trkset = None
         self._dstate = empty_track_state(
             self.cfg.n_keypoints, self.cfg.capacity.tracking_points
@@ -806,7 +820,10 @@ class SlamSystem:
         if not self._pending:
             return
         assert len(self._pending) <= RING, "pipeline lag exceeds ring size"
+        _t0 = time.perf_counter()
         ring = np.asarray(self._dstate.ring_info)  # ONE small fetch
+        self.perf["drain_fetch"] += time.perf_counter() - _t0
+        _t0 = time.perf_counter()
         # Fold the found/visible accumulators EVERY batch (not only at
         # tracking-set refreshes): the 0.25 found-ratio cull checks each
         # recent point inside a ~3-keyframe age window, and the
@@ -851,8 +868,11 @@ class SlamSystem:
             self._drain_one(
                 timestamp, info, allow_reloc=(i == len(batch) - 1)
             )
+        self.perf["drain_frames"] += time.perf_counter() - _t0
+        _t0 = time.perf_counter()
         if self._ba_pending:
             self._run_deferred_ba()
+        self.perf["deferred_ba"] += time.perf_counter() - _t0
         # Refresh the tracking window at keyframe insertions, centered
         # on the keyframe nearest the newest drained pose (the per-drain
         # analog of the reference's per-frame local-window vote,
@@ -867,13 +887,17 @@ class SlamSystem:
             if info.ok:
                 T_latest = info.T_cw
                 break
+        _t0 = time.perf_counter()
         if self._batch_inserted:
             self._refresh_trkset(T_latest)
+        self.perf["trkset_refresh"] += time.perf_counter() - _t0
+        _t0 = time.perf_counter()
         if self.loop_closer is not None:
             # One global-BA LM chunk per drained batch: in-flight loop
             # BAs overlap tracking instead of stalling it (the
             # reference's transient BA thread, loopClosing.cpp:334).
             self.loop_closer.tick()
+        self.perf["loop_tick"] += time.perf_counter() - _t0
 
 
     @property

@@ -408,6 +408,11 @@ def triangulate_neighbors_batch(
     obs_oct_rows = (
         jnp.zeros((m.N, m.O), jnp.int32).at[:, 0].set(oct1).at[:, 1].set(oct2)
     )
+    obs_st_rows = (
+        jnp.zeros((m.N, m.O), bool)
+        .at[:, 0].set(m.kf_right_u[kf1] >= 0)
+        .at[:, 1].set(m.kf_right_u[sel_kf2, sel_best2] >= 0)
+    )
     m = m._replace(
         mp_pos=m.mp_pos.at[slot_w].set(sel_X, mode="drop"),
         mp_valid=m.mp_valid.at[slot_w].set(True, mode="drop"),
@@ -419,6 +424,9 @@ def triangulate_neighbors_batch(
         mp_obs_kf=m.mp_obs_kf.at[slot_w].set(obs_kf_rows, mode="drop"),
         mp_obs_kp=m.mp_obs_kp.at[slot_w].set(obs_kp_rows, mode="drop"),
         mp_obs_oct=m.mp_obs_oct.at[slot_w].set(obs_oct_rows, mode="drop"),
+        mp_obs_stereo=m.mp_obs_stereo.at[slot_w].set(
+            obs_st_rows, mode="drop"
+        ),
         kf_mp=m.kf_mp.at[kf1].set(jnp.where(created, slots, m.kf_mp[kf1]))
         .at[jnp.where(created, sel_kf2, m.K), sel_best2]
         .set(slots, mode="drop"),
@@ -457,16 +465,22 @@ def _fuse_pair_setup(
     T = m.kf_pose[dst_kf]
     proj = project_sources(cam, T, pos, pt_ok, border=5.0)
     center = _camera_center(T)
-    dist = jnp.linalg.norm(pos - center[None], axis=-1)
+    po = pos - center[None]
+    dist = jnp.linalg.norm(po, axis=-1)
     band_ok = (dist >= 0.8 * m.mp_min_dist[idc]) & (dist <= 1.2 * m.mp_max_dist[idc])
+    # Viewing-direction gate (orbMatcher.cpp:708): the candidate must be
+    # seen from within 60 degrees of its mean viewing ray.
+    view_cos = jnp.sum(po * m.mp_normal[idc], axis=-1) / jnp.maximum(
+        dist * jnp.linalg.norm(m.mp_normal[idc], axis=-1), 1e-6
+    )
     pred = predict_scale_level(dist, 1.2 * m.mp_max_dist[idc], n_levels, scale_factor)
     radius = 3.0 * sf[pred]
     # Already-observed points must not rebind (reference skips points
     # already in the target keyframe).
     already = jnp.any(m.mp_obs_kf[idc] == dst_kf, axis=-1)
-    valid_src = pt_ok & proj.valid & band_ok & ~already
+    valid_src = pt_ok & proj.valid & band_ok & (view_cos >= 0.5) & ~already
     return dict(
-        ids=ids, idc=idc, uv=proj.uv, radius=radius, pred=pred,
+        ids=ids, idc=idc, uv=proj.uv, ur=proj.ur, radius=radius, pred=pred,
         valid_src=valid_src,
     )
 
@@ -500,18 +514,24 @@ def _fuse_attrs(
     rad = s["radius"].astype(f)
     a_attr = jnp.stack(
         [
-            s["uv"][:, 0].astype(f), s["uv"][:, 1].astype(f), z,
+            s["uv"][:, 0].astype(f), s["uv"][:, 1].astype(f),
+            s["ur"].astype(f),
             rad, rad,
             (s["pred"] - 1).astype(f), s["pred"].astype(f),
             s["valid_src"].astype(f),
         ],
         -1,
     )
+    # Lane 5 carries 1/sf^2(octave) — the fuse chi2 weight
+    # (orbMatcher.cpp:714-721; see pallas_kernels B_ISF2).
+    isf2 = (
+        1.0 / (scale_factor ** m.kf_octave[dst_kf].astype(f)) ** 2
+    )
     b_attr = jnp.stack(
         [
             m.kf_uv[dst_kf][:, 0].astype(f), m.kf_uv[dst_kf][:, 1].astype(f),
-            z, m.kf_octave[dst_kf].astype(f),
-            m.kf_kp_valid[dst_kf].astype(f), z, z, z,
+            m.kf_right_u[dst_kf].astype(f), m.kf_octave[dst_kf].astype(f),
+            m.kf_kp_valid[dst_kf].astype(f), isf2, z, z,
         ],
         -1,
     )
@@ -535,6 +555,22 @@ def _fuse_candidate_fields(
     pm &= (m.kf_octave[dst_kf][None, :] >= (pred - 1)[:, None]) & (
         m.kf_octave[dst_kf][None, :] <= pred[:, None]
     )
+    # Reference fuse chi2 (orbMatcher.cpp:714-721): stereo keypoints face
+    # (du^2+dv^2+dur^2)/sf^2(oct) <= 7.81, mono (du^2+dv^2)/sf^2 <= 5.99
+    # — the gate that stops depth-inconsistent candidates from merging
+    # distinct landmarks (its absence let the merge fuse corrupt maps on
+    # self-similar texture).
+    sf = scale_factor ** jnp.arange(n_levels, dtype=jnp.float32)
+    isf2 = 1.0 / sf[jnp.clip(m.kf_octave[dst_kf], 0, n_levels - 1)] ** 2
+    kp_ur = m.kf_right_u[dst_kf]
+    dur = kp_ur[None, :] - s["ur"][:, None]
+    mono2 = du * du + dv * dv
+    chi2_ok = jnp.where(
+        kp_ur[None, :] >= 0,
+        (mono2 + dur * dur) * isf2[None, :] <= 7.81,
+        mono2 * isf2[None, :] <= 5.99,
+    )
+    pm &= chi2_ok
     d = masked_distance_matrix(
         m.mp_desc[s["idc"]], m.kf_desc[dst_kf], s["valid_src"],
         m.kf_kp_valid[dst_kf], pm,
