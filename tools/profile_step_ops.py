@@ -126,11 +126,14 @@ def main():
     pos = jnp.zeros((n, 3)).at[:, 2].set(2.0)
     obs = PoseObservations(
         p_w=pos + jax.random.normal(jax.random.PRNGKey(0), (n, 3)) * 0.3,
-        uv=feats.uv[:n], inv_sigma2=jnp.ones((n,)),
+        obs_uvr=jnp.concatenate(
+            [feats.uv[:n], jnp.zeros((n, 1))], axis=-1
+        ),
+        inv_sigma2=jnp.ones((n,)),
+        has_stereo=jnp.zeros((n,), bool),
         valid=jnp.ones((n,), bool),
-        is_stereo=jnp.zeros((n,), bool), u_right=jnp.zeros((n,)),
     )
-    po = jax.jit(lambda Tc: optimize_pose(Tc, obs, cam)[0])
+    po = jax.jit(lambda Tc: optimize_pose(cam, Tc, obs)[0])
     print(f"optimize_pose (4x10):   "
           f"{chained(lambda c: po(T if c is None else c), lambda Tn: Tn):7.3f} ms")
 

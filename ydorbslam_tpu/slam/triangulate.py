@@ -31,6 +31,11 @@ from ..geometry.se3 import inv_T
 from ..ops.hamming import INVALID_DIST, masked_distance_matrix
 from ..ops.pallas_kernels import pair_best2_pallas
 from .map_state import MapState, add_observations, alloc_slots, refresh_points
+
+# Per-pass row budget for duplicate-merge compaction in the fuse stage
+# (see fuse_neighbors_batch): replace_points' cost scales with rows, so
+# the sparse merge set is compacted to this many before the call.
+FUSE_MERGE_BUDGET = 512
 from .matchers import _use_pallas_matchers, predict_scale_level, project_sources
 
 N_TRIANG_NEIGHBORS = 10  # stereo neighbor count (localMapping.cpp:114)
@@ -694,9 +699,20 @@ def fuse_neighbors_batch(
     merge = bound & ~empty_slot & (cand != existing)
     old = jnp.where(exist_obs > cand_obs, cand, existing)
     new = jnp.where(exist_obs > cand_obs, existing, cand)
+    # COMPACT the merge set before replace_points: the (B,N) candidate
+    # grid is ~20k rows but real duplicate merges per fuse are a few
+    # dozen, and replace_points' obs-transfer + descriptor refresh costs
+    # scale with the ROW COUNT, not the merge count (measured: the dense
+    # 20k-row call alone put fuse at ~50 ms/keyframe device time, 6x the
+    # whole r4 prep budget).  Merges past the budget are simply caught
+    # at the next keyframe's fuse pass — the reference's sequential loop
+    # has no such bound but also no batching to pay for.
+    mf = merge.reshape(-1)
+    sel = jnp.argsort(~mf, stable=True)[:FUSE_MERGE_BUDGET]
+    ok_sel = mf[sel]
     m = replace_points(
-        m, jnp.where(merge, old, -1).reshape(-1), new.reshape(-1),
-        merge.reshape(-1), scale_factor, n_levels,
+        m, jnp.where(ok_sel, old.reshape(-1)[sel], -1),
+        new.reshape(-1)[sel], ok_sel, scale_factor, n_levels,
     )
     # ---------------- IN: each neighbor -> kf1 ----------------
     # Fresh obs counts: the OUT pass just added/erased observations, and
@@ -752,8 +768,11 @@ def fuse_neighbors_batch(
     merge1 = j_bound & ~empty1 & (j_cand != existing1)
     old1 = jnp.where(e_obs > c_obs, j_cand, existing1)
     new1 = jnp.where(e_obs > c_obs, existing1, j_cand)
+    sel1 = jnp.argsort(~merge1, stable=True)[:FUSE_MERGE_BUDGET]
+    ok1 = merge1[sel1]
     return replace_points(
-        m, jnp.where(merge1, old1, -1), new1, merge1, scale_factor, n_levels
+        m, jnp.where(ok1, old1[sel1], -1), new1[sel1], ok1,
+        scale_factor, n_levels,
     )
 
 
