@@ -108,12 +108,13 @@ def main():
     # noise accumulates as genuine random-walk VO drift, exactly the
     # condition loop closure repairs on real sensors.
     noise_sigma = float(sys.argv[5]) if len(sys.argv) > 5 else 0.0
+    seed = int(sys.argv[6]) if len(sys.argv) > 6 else 12345
     os.makedirs(os.path.join(out, "rgb"), exist_ok=True)
     os.makedirs(os.path.join(out, "depth"), exist_ok=True)
     tex = atlas()
     n = n_circuit + tail
     assoc, gt = [], ["# timestamp tx ty tz qx qy qz qw"]
-    rng = np.random.default_rng(12345)
+    rng = np.random.default_rng(seed)
     for i in range(n):
         ts = f"{i / 30.0:.6f}"
         T = pose(i, n_circuit)
